@@ -1,0 +1,164 @@
+"""Static scene specs: floor + axis-aligned box obstacles.
+
+Replaces the reference's three arena sources with one uniform representation:
+
+* the bare open floor (reference ``SimpleMapSpawner``,
+  src/rl/envs/simple_map_spawner.py:22-54),
+* the hand-authored obstacle grid
+  (``models/environments/ackermann_maze_flat.xml:26-139`` — 38 1x1 m boxes on
+  an 8x8 m grid),
+* the Gymnasium-Robotics PointMaze arenas that the reference grafts in via
+  runtime XML surgery (src/rl/envs/ackermann_gymnasium_maze_env.py:237-398).
+  Here a maze is just *layout data* — a cell grid expanded once into box
+  arrays at model-compile time, so env reset never recompiles anything.
+
+All obstacles are axis-aligned boxes, which keeps broadphase, contact and the
+lidar raycast fully vectorizable (ray-AABB slab tests) on TPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+# PointMaze cell grids (1 = wall). Transcribed from gymnasium_robotics's maze
+# registry (the reference consumes these via gym.make, maze_env.py:87).
+POINTMAZE_MAPS = {
+    "PointMaze_UMaze-v3": [
+        [1, 1, 1, 1, 1],
+        [1, 0, 0, 0, 1],
+        [1, 1, 1, 0, 1],
+        [1, 0, 0, 0, 1],
+        [1, 1, 1, 1, 1],
+    ],
+    "PointMaze_Open-v3": [
+        [1, 1, 1, 1, 1, 1, 1],
+        [1, 0, 0, 0, 0, 0, 1],
+        [1, 0, 0, 0, 0, 0, 1],
+        [1, 0, 0, 0, 0, 0, 1],
+        [1, 1, 1, 1, 1, 1, 1],
+    ],
+    "PointMaze_Medium-v3": [
+        [1, 1, 1, 1, 1, 1, 1, 1],
+        [1, 0, 0, 1, 1, 0, 0, 1],
+        [1, 0, 0, 1, 0, 0, 0, 1],
+        [1, 1, 0, 0, 0, 1, 1, 1],
+        [1, 0, 0, 1, 0, 0, 0, 1],
+        [1, 0, 1, 0, 0, 1, 0, 1],
+        [1, 0, 0, 0, 1, 0, 0, 1],
+        [1, 1, 1, 1, 1, 1, 1, 1],
+    ],
+    "PointMaze_Large-v3": [
+        [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+        [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1],
+        [1, 0, 1, 1, 0, 1, 0, 1, 0, 1, 0, 1],
+        [1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1],
+        [1, 0, 1, 1, 1, 1, 0, 1, 1, 1, 0, 1],
+        [1, 0, 0, 1, 0, 1, 0, 0, 0, 0, 0, 1],
+        [1, 1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 1],
+        [1, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1],
+        [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    ],
+}
+
+# Short aliases used by the reference trainer CLI (train.py:245-248).
+MAZE_ALIASES = {
+    "umaze": "PointMaze_UMaze-v3",
+    "open": "PointMaze_Open-v3",
+    "medium": "PointMaze_Medium-v3",
+    "large": "PointMaze_Large-v3",
+}
+
+# The 38-obstacle grid of models/environments/ackermann_maze_flat.xml (all
+# boxes are half-size 0.5x0.5x0.1 at z=0.05).
+_MAZE_FLAT_XY = [
+    (-4.0, -4.0), (-4.0, -3.0), (-4.0, -2.0), (-4.0, -1.0), (-4.0, 0.0),
+    (-4.0, 1.0), (-4.0, 2.0), (-4.0, 3.0), (-3.0, -4.0), (-3.0, -1.0),
+    (-3.0, 3.0), (-2.0, -4.0), (-2.0, -1.0), (-2.0, 1.0), (-2.0, 3.0),
+    (-1.0, -4.0), (-1.0, -3.0), (-1.0, 2.0), (-1.0, 3.0), (0.0, -4.0),
+    (0.0, -3.0), (0.0, -2.0), (0.0, 0.0), (0.0, 3.0), (1.0, -4.0),
+    (1.0, 1.0), (1.0, 3.0), (2.0, -4.0), (2.0, -1.0), (2.0, 3.0),
+    (3.0, -4.0), (3.0, -3.0), (3.0, -2.0), (3.0, -1.0), (3.0, 0.0),
+    (3.0, 1.0), (3.0, 2.0), (3.0, 3.0),
+]
+
+
+@dataclasses.dataclass
+class SceneSpec:
+    """Floor plane + K axis-aligned boxes (static world geometry)."""
+
+    name: str
+    floor_z: float = 0.0
+    floor_friction: Tuple[float, float, float] = (1.0, 0.005, 0.0001)
+    # (K, 3) box centers and (K, 3) half-sizes, axis-aligned, world frame.
+    box_pos: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    box_size: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    # Free (non-wall) cell centers for start/goal sampling, (M, 2); empty for
+    # scenes without a cell structure.
+    free_cells: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2)))
+    cell_size: float = 1.0
+
+    @property
+    def num_boxes(self) -> int:
+        return len(self.box_pos)
+
+
+def open_floor_scene() -> SceneSpec:
+    """Bare floor (the reference's SimpleMapSpawner arena)."""
+    return SceneSpec(name="simple_floor")
+
+
+def maze_flat_scene() -> SceneSpec:
+    """The 38-box obstacle grid of ackermann_maze_flat.xml."""
+    xy = np.asarray(_MAZE_FLAT_XY)
+    pos = np.concatenate([xy, np.full((len(xy), 1), 0.05)], axis=1)
+    size = np.tile(np.array([[0.5, 0.5, 0.1]]), (len(xy), 1))
+    return SceneSpec(name="ackermann_maze_flat", box_pos=pos, box_size=size)
+
+
+def pointmaze_scene(maze_id: str = "PointMaze_UMaze-v3",
+                    floor_z: float = -0.5,
+                    maze_height: float = 0.4,
+                    size_scaling: float = 1.0) -> SceneSpec:
+    """PointMaze arena as box layout data.
+
+    Reproduces the reference's merged-maze geometry *after* its XML surgery
+    (maze_env.py:320-355): the maze ground is dropped to z=-0.5 and each wall
+    block re-seated so its bottom rests on the ground (center z = floor_z +
+    half-height).  Cell (i, j) of the map is centered at
+    (x_center - ...), matching gymnasium_robotics's cell_xy convention.
+    """
+    maze_id = MAZE_ALIASES.get(maze_id, maze_id)
+    grid = np.asarray(POINTMAZE_MAPS[maze_id])
+    rows, cols = grid.shape
+    x_center = cols / 2 * size_scaling
+    y_center = rows / 2 * size_scaling
+    half = 0.5 * size_scaling
+    half_h = maze_height / 2 * size_scaling
+
+    walls, free = [], []
+    for i in range(rows):
+        for j in range(cols):
+            # gymnasium_robotics cell_rowcol_to_xy: x = j*s - x_center + s/2,
+            # y = y_center - i*s - s/2.
+            x = j * size_scaling - x_center + half
+            y = y_center - i * size_scaling - half
+            if grid[i, j] == 1:
+                walls.append((x, y, floor_z + half_h))
+            else:
+                free.append((x, y))
+
+    pos = np.asarray(walls)
+    size = np.tile(np.array([[half, half, half_h]]), (len(walls), 1))
+    return SceneSpec(name=maze_id, floor_z=floor_z, box_pos=pos, box_size=size,
+                     free_cells=np.asarray(free), cell_size=size_scaling)
+
+
+def list_available_mazes() -> List[str]:
+    """Restores the lost ``make_env.list_available_mazes`` API (reference
+    component #17, recovered from bytecode)."""
+    return list(POINTMAZE_MAPS.keys())
