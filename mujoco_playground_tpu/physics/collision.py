@@ -1,0 +1,227 @@
+"""Narrowphase collision against the static scene (plane + AABB obstacles).
+
+Fixed-size contact slots (static shapes for XLA): every candidate contact
+always exists; inactive ones are gated by ``dist >= 0`` downstream.  The
+robot's colliders are its 4 wheel cylinders and 2 chassis plate proxies; the
+world's are the floor plane and the scene's axis-aligned boxes — exactly the
+pairs MuJoCo's broadphase admits under the reference's contype/conaffinity
+masking (ackermann_robot_v2.xml:21,30,42: floor<->{chassis,wheels} and
+scene-box<->{chassis,wheels} only; no self-collision).
+
+Slot layout (C = total contact slots):
+  [4 wheels x 2 rim contacts vs plane]          -> 8
+  [4 wheels x TOPK_W boxes, sphere approx]      -> 4*TOPK_W   (if boxes)
+  [2 chassis plates x 8 corners vs plane]       -> 16
+  [2 chassis plates x 8 corners vs top-1 box]   -> 16         (if boxes)
+
+Wheel-vs-plane reproduces MuJoCo's cylinder-plane rim contacts (two contact
+points at the rim-circle bottoms, position at the penetration midpoint —
+verified against mj contact dumps).  Wheel-vs-box uses a sphere approximation
+(wheel half-width 0.01 << radius 0.0325), and chassis plates collide through
+their corner points — documented approximations; the lidar collision
+penalty (0.15 m) triggers well before chassis contact in normal operation.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mujoco_playground_tpu.physics import mathutil as mu
+from mujoco_playground_tpu.physics.model import Model
+
+TOPK_W = 2  # boxes tested per wheel
+
+
+@struct.dataclass
+class Contacts:
+    pos: Any          # (C, 3) contact position (world)
+    frame: Any        # (C, 3, 3) rows [n, t1, t2]; n points world->robot
+    dist: Any         # (C,) signed distance (negative = penetrating)
+    friction: Any     # (C,) isotropic tangential mu
+    solref: Any       # (C, 2)
+    solimp: Any       # (C, 5)
+    diag_approx: Any  # (C,) trn invweight sum of the two bodies
+    body: Any         # (C,) static robot body index of the moving geom
+
+
+def _make_frame(n):
+    """Tangent frame matching mju_makeFrame: t1 = normalize(n x a), t2 = n x t1,
+    with helper axis a = x-hat unless n is near x-hat."""
+    dtype = n.dtype
+    a_x = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    a_y = jnp.asarray([0.0, 1.0, 0.0], dtype)
+    a = jnp.where(jnp.abs(n[..., :1]) < 0.5, a_x, a_y)
+    t1 = jnp.cross(n, a)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([n, t1, t2], axis=-2)
+
+
+def _combine(model: Model, robot_friction, robot_solref, robot_solimp):
+    """MuJoCo default mixing: friction = elementwise max; solref/solimp mean."""
+    fric = jnp.maximum(robot_friction, model.plane_friction[0])
+    solref = 0.5 * (robot_solref + model.plane_solref)
+    solimp = 0.5 * (robot_solimp + model.plane_solimp)
+    return fric, solref, solimp
+
+
+def collide(model: Model, xpos, xquat) -> Contacts:
+    """All contact slots for one env. Shapes are static given the model."""
+    dtype = xpos.dtype
+    nw = len(model.wheel_body)
+    zhat = jnp.asarray([0.0, 0.0, 1.0], dtype)
+
+    pos_l, frame_l, dist_l, fric_l, solref_l, solimp_l, diag_l, body_l = (
+        [], [], [], [], [], [], [], [])
+
+    wheel_iw = jnp.asarray(
+        np.asarray(model.body_invweight0)[np.asarray(model.wheel_body), 0],
+        dtype)
+    cb = np.asarray(model.chassis_box_body, dtype=np.int64)
+    chassis_iw = jnp.asarray(
+        np.asarray(model.body_invweight0)[cb, 0] if len(cb) else np.zeros(0),
+        dtype)
+
+    # --- wheels vs plane: two rim contacts each -----------------------------
+    for w in range(nw):
+        b = model.wheel_body[w]
+        c = xpos[b] + mu.quat_rotate(xquat[b], model.wheel_pos[w])
+        a = mu.quat_rotate(xquat[b], model.wheel_axis[w])
+        r, h = model.wheel_size[w, 0], model.wheel_size[w, 1]
+        # radial direction toward the plane
+        proj = zhat - jnp.dot(zhat, a) * a
+        pn = jnp.linalg.norm(proj)
+        raddir = jnp.where(pn > 1e-9, proj / jnp.maximum(pn, 1e-9),
+                           jnp.asarray([1.0, 0, 0], dtype))
+        fric, solref, solimp = _combine(
+            model, model.wheel_friction[w, 0], model.wheel_solref[w],
+            model.wheel_solimp[w])
+        for sgn in (-1.0, 1.0):
+            rim_center = c + sgn * h * a
+            p = rim_center - r * raddir
+            dist = p[2] - model.plane_z
+            cpos = p - 0.5 * dist * zhat
+            pos_l.append(cpos)
+            frame_l.append(_make_frame(zhat))
+            dist_l.append(dist)
+            fric_l.append(fric)
+            solref_l.append(solref)
+            solimp_l.append(solimp)
+            diag_l.append(wheel_iw[w])
+            body_l.append(b)
+
+    # --- wheels vs boxes (sphere approximation) -----------------------------
+    if model.num_scene_boxes > 0:
+        box_pos = model.scene_box_pos
+        box_size = model.scene_box_size
+        for w in range(nw):
+            b = model.wheel_body[w]
+            c = xpos[b] + mu.quat_rotate(xquat[b], model.wheel_pos[w])
+            r = model.wheel_size[w, 0]
+            d2 = jnp.sum((box_pos - c) ** 2, axis=-1)
+            _, idx = jax.lax.top_k(-d2, min(TOPK_W, model.num_scene_boxes))
+            fric, solref, solimp = _combine(
+                model, model.wheel_friction[w, 0], model.wheel_solref[w],
+                model.wheel_solimp[w])
+            for k in range(min(TOPK_W, model.num_scene_boxes)):
+                bp = box_pos[idx[k]]
+                bs = box_size[idx[k]]
+                dist, n, p = _sphere_box(c, r, bp, bs, dtype)
+                pos_l.append(p)
+                frame_l.append(_make_frame(n))
+                dist_l.append(dist)
+                fric_l.append(fric)
+                solref_l.append(solref)
+                solimp_l.append(solimp)
+                diag_l.append(wheel_iw[w])
+                body_l.append(b)
+
+    # --- chassis plate corners vs plane (and top-1 box) ---------------------
+    corner_signs = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                             for sz in (-1, 1)], dtype=np.float64)
+    for i in range(len(model.chassis_box_body)):
+        b = model.chassis_box_body[i]
+        R = mu.quat_to_mat(mu.quat_mul(xquat[b], model.chassis_box_quat[i]))
+        center = xpos[b] + mu.quat_rotate(xquat[b], model.chassis_box_pos[i])
+        corners = center + (jnp.asarray(corner_signs, dtype)
+                            * model.chassis_box_size[i]) @ R.T
+        fric = jnp.maximum(model.plane_friction[0],
+                           jnp.asarray(1.0, dtype))
+        solref, solimp = model.plane_solref, model.plane_solimp
+        for k in range(8):
+            p = corners[k]
+            dist = p[2] - model.plane_z
+            pos_l.append(p - 0.5 * dist * zhat)
+            frame_l.append(_make_frame(zhat))
+            dist_l.append(dist)
+            fric_l.append(fric)
+            solref_l.append(solref)
+            solimp_l.append(solimp)
+            diag_l.append(chassis_iw[i])
+            body_l.append(b)
+        if model.num_scene_boxes > 0:
+            d2 = jnp.sum((model.scene_box_pos - center) ** 2, axis=-1)
+            j = jnp.argmin(d2)
+            bp = model.scene_box_pos[j]
+            bs = model.scene_box_size[j]
+            for k in range(8):
+                dist, n, p = _point_box(corners[k], bp, bs, dtype)
+                pos_l.append(p)
+                frame_l.append(_make_frame(n))
+                dist_l.append(dist)
+                fric_l.append(fric)
+                solref_l.append(solref)
+                solimp_l.append(solimp)
+                diag_l.append(chassis_iw[i])
+                body_l.append(b)
+
+    return Contacts(
+        pos=jnp.stack(pos_l), frame=jnp.stack(frame_l),
+        dist=jnp.stack(dist_l), friction=jnp.stack(fric_l),
+        solref=jnp.stack(solref_l), solimp=jnp.stack(solimp_l),
+        diag_approx=jnp.stack(diag_l),
+        body=jnp.asarray(body_l, jnp.int32))
+
+
+def _sphere_box(c, r, bp, bs, dtype):
+    """Sphere (center c, radius r) vs AABB (center bp, half bs).
+
+    Returns (dist, normal pointing box->sphere, contact midpoint).
+    """
+    rel = c - bp
+    clamped = jnp.clip(rel, -bs, bs)
+    closest = bp + clamped
+    delta = c - closest
+    dn = jnp.linalg.norm(delta)
+    outside = dn > 1e-9
+    # outside: normal along delta; inside: push out along min-penetration axis
+    q = jnp.abs(rel) - bs          # componentwise; all negative when inside
+    ax = jnp.argmax(q)
+    n_in = jnp.zeros(3, dtype).at[ax].set(jnp.sign(rel[ax]))
+    n = jnp.where(outside, delta / jnp.maximum(dn, 1e-9), n_in)
+    dist = jnp.where(outside, dn - r, q[ax] - r)
+    surface = jnp.where(outside, closest, c - q[ax] * n_in)
+    pos = surface + 0.5 * dist * n
+    return dist, n, pos
+
+
+def _point_box(p, bp, bs, dtype):
+    """Point vs AABB. Returns (dist, normal box->point, contact midpoint)."""
+    rel = p - bp
+    q = jnp.abs(rel) - bs
+    inside = jnp.all(q < 0)
+    qpos_part = jnp.maximum(q, 0.0)
+    dist_out = jnp.linalg.norm(qpos_part)
+    ax = jnp.argmax(q)
+    n_in = jnp.zeros(3, dtype).at[ax].set(jnp.sign(rel[ax]))
+    delta = rel - jnp.clip(rel, -bs, bs)
+    dn = jnp.linalg.norm(delta)
+    n_out = delta / jnp.maximum(dn, 1e-9)
+    n = jnp.where(inside, n_in, n_out)
+    dist = jnp.where(inside, q[ax], dist_out)
+    pos = p - 0.5 * dist * n
+    return dist, n, pos

@@ -1,18 +1,97 @@
-"""Physics step: forward dynamics + constraint solve + integration.
+"""Physics step: the TPU-native twin of ``mj_step`` (mj_forward + Euler).
 
-(Filled in incrementally; smooth dynamics first, constraints in solver.py.)
+One call = one 0.002 s physics step (the reference steps once per env step,
+500 Hz control — src/rl/envs/ackermann_env.py:200).  Pure function of
+(model, state); batched over envs with ``vmap``; everything inside is
+straight-line jnp code with static shapes.
+
+Pipeline (mirrors MuJoCo's mj_forward):
+  FK -> motion subspace -> CRBA mass matrix -> RNEA bias -> actuator +
+  passive forces -> qacc_smooth -> collision -> efc assembly -> Newton
+  constraint solve -> semi-implicit Euler with implicit joint damping
+  ((M + h D) v' = M v + h * total force, matching MuJoCo's Euler integrator).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from mujoco_playground_tpu.physics.model import Model
+from mujoco_playground_tpu.physics import (collision, constraint, inertia,
+                                           kinematics, solver)
+from mujoco_playground_tpu.physics import mathutil as mu
+from mujoco_playground_tpu.physics.model import JNT_FREE, JNT_HINGE, JNT_SLIDE, Model
 from mujoco_playground_tpu.physics.state import State
 
 
-def forward(model: Model, state: State) -> State:
-    raise NotImplementedError
+def actuator_force(model: Model, qpos, qvel, ctrl):
+    """Affine actuator model: clip(gain*ctrl + b0 + b1*q + b2*qdot, forcerange)."""
+    ctrl = jnp.clip(ctrl, model.actuator_ctrlrange[:, 0],
+                    model.actuator_ctrlrange[:, 1])
+    dof = np.asarray(model.actuator_dof)
+    qadr = np.asarray([constraint._dof_to_qposadr(model, d) for d in dof])
+    q = qpos[qadr]
+    qd = qvel[dof]
+    force = (model.actuator_gain * ctrl + model.actuator_bias[:, 0]
+             + model.actuator_bias[:, 1] * q + model.actuator_bias[:, 2] * qd)
+    force = jnp.clip(force, model.actuator_forcerange[:, 0],
+                     model.actuator_forcerange[:, 1])
+    qfrc = jnp.zeros(model.nv, qpos.dtype).at[dof].add(force)
+    return qfrc
+
+
+def forward(model: Model, state: State):
+    """Forward dynamics: returns (qacc, aux dict with M, xpos, xquat, ...)."""
+    qpos, qvel, ctrl = state.qpos, state.qvel, state.ctrl
+    mask = jnp.asarray(kinematics.ancestor_mask(model), qpos.dtype)
+    xpos, xquat = kinematics.fk(model, qpos)
+    M, S, anchor = inertia.crba(model, xpos, xquat, mask)
+    bias = inertia.bias_force(model, xpos, xquat, qvel, S, mask, anchor)
+    qfrc_passive = -model.dof_damping * qvel
+    qfrc_act = actuator_force(model, qpos, qvel, ctrl)
+    qfrc_smooth = qfrc_act + qfrc_passive - bias
+    qacc_smooth = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(M), qfrc_smooth)
+
+    contacts = collision.collide(model, xpos, xquat)
+    efc = constraint.make_efc(model, qpos, qvel, S, mask, anchor, contacts)
+    qacc, efc_force = solver.solve(model, M, qacc_smooth, efc)
+    aux = dict(M=M, xpos=xpos, xquat=xquat, qfrc_smooth=qfrc_smooth,
+               qacc_smooth=qacc_smooth, contacts=contacts, efc=efc,
+               efc_force=efc_force,
+               qfrc_constraint=efc.J.T @ efc_force)
+    return qacc, aux
+
+
+def _integrate_pos(model: Model, qpos, qvel, h):
+    out = []
+    for j in range(model.njnt):
+        adr = model.jnt_qposadr[j]
+        dadr = model.jnt_dofadr[j]
+        t = model.jnt_type[j]
+        if t == JNT_FREE:
+            out.append(qpos[adr:adr + 3] + h * qvel[dadr:dadr + 3])
+            out.append(mu.quat_integrate(qpos[adr + 3:adr + 7],
+                                         qvel[dadr + 3:dadr + 6], h))
+        else:
+            out.append(qpos[adr:adr + 1] + h * qvel[dadr:dadr + 1])
+    return jnp.concatenate(out)
 
 
 def step(model: Model, state: State) -> State:
-    raise NotImplementedError
+    """One physics step (semi-implicit Euler, implicit joint damping)."""
+    h = model.timestep
+    qacc, aux = forward(model, state)
+    # Implicit damping: M (v' - v)/h = f_other(v) - D v', where f_other is the
+    # total force minus explicit damping: f_other = M qacc + D v.  Hence
+    # (M + h D) v' = M v + h D v + h M qacc.
+    M = aux['M']
+    rhs = (M @ (state.qvel + h * qacc)
+           + h * model.dof_damping * state.qvel)
+    MhD = M + h * jnp.diag(model.dof_damping)
+    qvel_new = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(MhD), rhs)
+    qpos_new = _integrate_pos(model, state.qpos, qvel_new, h)
+    xpos, xquat = kinematics.fk(model, qpos_new)
+    return state.replace(qpos=qpos_new, qvel=qvel_new, time=state.time + h,
+                         xpos=xpos, xquat=xquat)

@@ -63,6 +63,11 @@ class Model:
     eq_dof_pairs: Tuple[Tuple[int, int], ...] = struct.field(pytree_node=False)
     limited_dofs: Tuple[int, ...] = struct.field(pytree_node=False)
     friction_dofs: Tuple[int, ...] = struct.field(pytree_node=False)
+    # sensors: kinds "jointpos"|"jointvel"|"rangefinder"; obj = qposadr /
+    # dofadr / site index respectively; one sensordata slot each
+    sensor_kinds: Tuple[str, ...] = struct.field(pytree_node=False)
+    sensor_obj: Tuple[int, ...] = struct.field(pytree_node=False)
+    sensor_names: Tuple[str, ...] = struct.field(pytree_node=False)
     # collision topology: wheel cylinders + chassis proxy boxes
     wheel_body: Tuple[int, ...] = struct.field(pytree_node=False)
     chassis_box_body: Tuple[int, ...] = struct.field(pytree_node=False)
@@ -387,8 +392,22 @@ def make_model(spec: st.ModelSpec,
     friction_dofs = tuple(i for i in range(nv) if dof_frictionloss[i] > 0)
     limited_dofs = tuple(jnt_dofadr[j] for j in limited_jnts)
 
-    # rangefinder cutoffs, in site order of rangefinder sensors
-    rf_cutoff = [s.cutoff for s in spec.sensors if s.type == "rangefinder"]
+    # sensor metadata
+    site_index = {n: i for i, n in enumerate(site_names)}
+    sensor_kinds, sensor_obj, sensor_names = [], [], []
+    rf_cutoff = []
+    for s in spec.sensors:
+        sensor_kinds.append(s.type)
+        sensor_names.append(s.name)
+        if s.type == "jointpos":
+            sensor_obj.append(jnt_qposadr[jnt_index[s.obj]])
+        elif s.type == "jointvel":
+            sensor_obj.append(jnt_dofadr[jnt_index[s.obj]])
+        elif s.type == "rangefinder":
+            sensor_obj.append(site_index[s.obj])
+            rf_cutoff.append(s.cutoff)
+        else:
+            raise ValueError(f"unsupported sensor type {s.type}")
 
     def arr(x):
         return jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
@@ -403,6 +422,8 @@ def make_model(spec: st.ModelSpec,
         dof_body=tuple(dof_body), dof_jnt=tuple(dof_jnt),
         site_body=tuple(site_body), site_names=tuple(site_names),
         actuator_dof=tuple(act_dof), actuator_names=tuple(act_names),
+        sensor_kinds=tuple(sensor_kinds), sensor_obj=tuple(sensor_obj),
+        sensor_names=tuple(sensor_names),
         eq_dof_pairs=tuple(eq_pairs),
         limited_dofs=limited_dofs, friction_dofs=friction_dofs,
         wheel_body=tuple(wheel_body), chassis_box_body=tuple(cbox_body),

@@ -32,15 +32,20 @@ def to_mjcf(spec: st.ModelSpec, scene: Optional[SceneSpec] = None) -> str:
                   gravity=_fmt(spec.option.gravity))
     world = ET.SubElement(root, "worldbody")
 
+    # The scene's floor height wins over the spec's plane (the spec models the
+    # open-floor arena; maze scenes drop the ground to floor_z=-0.5, matching
+    # the reference's XML surgery, maze_env.py:320-335).
+    spec_plane = next((g for g in spec.world_geoms if g.type == st.PLANE), None)
     for g in spec.world_geoms:
+        if g.type == st.PLANE and scene is not None:
+            continue
         _geom_elem(world, g)
-
     if scene is not None:
-        if not any(g.type == st.PLANE for g in spec.world_geoms):
-            ET.SubElement(world, "geom", name="floor", type="plane",
-                          size="40 40 0.1", pos=_fmt([0, 0, scene.floor_z]),
-                          friction=_fmt(scene.floor_friction),
-                          contype="1", conaffinity="7")
+        friction = (spec_plane.friction if spec_plane is not None
+                    else scene.floor_friction)
+        ET.SubElement(world, "geom", name="floor", type="plane",
+                      size="40 40 0.1", pos=_fmt([0, 0, scene.floor_z]),
+                      friction=_fmt(friction), contype="1", conaffinity="7")
         for k in range(scene.num_boxes):
             ET.SubElement(world, "geom", name=f"obstacle_{k}", type="box",
                           size=_fmt(scene.box_size[k]),
