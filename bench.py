@@ -1,0 +1,61 @@
+"""Benchmark: lockstep env throughput at 4096 envs on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's interactive/training loop runs ~500 env-steps/s
+(1 env, CPU MuJoCo at real-time 500 Hz — BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from mujoco_playground_tpu.envs import make_ackermann_env
+
+BASELINE_STEPS_PER_S = 500.0  # reference: 1 env, real-time CPU loop
+B = 4096
+T = 50
+
+
+def main():
+    env = make_ackermann_env("maze", "umaze", solver_iterations=4,
+                             ls_iterations=3)
+    rng = jax.random.PRNGKey(0)
+    states = jax.jit(jax.vmap(env.reset))(jax.random.split(rng, B))
+
+    def rollout(states, keys):
+        def body(s, key):
+            acts = jax.random.uniform(key, (B, 2), minval=-1.0, maxval=1.0)
+            return env.step_autoreset_batch(s, acts), ()
+        out, _ = jax.lax.scan(body, states, keys)
+        return out
+
+    rollout_j = jax.jit(rollout)
+    keys = jax.random.split(jax.random.PRNGKey(1), T)
+    states = rollout_j(states, keys)           # compile + warmup
+    jax.block_until_ready(states.obs)
+    t0 = time.time()
+    states = rollout_j(states, keys)
+    jax.block_until_ready(states.obs)
+    dt = time.time() - t0
+
+    steps_per_s = T * B / dt
+    print(json.dumps({
+        "metric": "env-steps/s per chip (4096 lockstep Ackermann envs, "
+                  "umaze, random policy)",
+        "value": round(steps_per_s),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

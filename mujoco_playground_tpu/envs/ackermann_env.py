@@ -1,0 +1,314 @@
+"""Ackermann goal-navigation environment as pure functions under jit+vmap.
+
+TPU-native twin of the reference's two Gymnasium envs:
+
+* ``AckermannRobotEnv`` (open floor + random goal,
+  src/rl/envs/ackermann_env.py) — ``arena="simple"``;
+* ``AckermannGymnasiumMazeEnv`` (PointMaze arenas,
+  src/rl/envs/ackermann_gymnasium_maze_env.py) — ``arena="maze"``.
+
+Identical observation/action/reward spec (79-dim obs = 72 lidar + [x, y,
+heading] + [dx, dy, dist, angle]; 2-dim action in [-1, 1]; reward
+-0.1*goal_dist - 0.01/step + 100 on goal (<0.5 m), -50 on collision
+(min lidar < 0.15 m); 1000-step truncation; one 500 Hz physics step per env
+step) — but where the reference re-merges XML and recompiles the MuJoCo model
+on *every* maze reset (maze_env.py:447->179), here the model is compiled once
+and reset just re-samples state: start/goal cells, a template qpos, a fresh
+odometry reference.  Thousands of envs step in lockstep via ``vmap``.
+
+Reference-fidelity notes (documented deviations, each opt-in reversible):
+* goal sampling uses the env's JAX RNG (the reference used the *unseeded*
+  global ``random`` module — ackermann_env.py:167-168);
+* lidar beams 0-9 are real (the reference's ``f"lidar-{i}"`` name lookups
+  miss MuJoCo's zero-padded ``lidar-00..09`` and silently alias those obs
+  slots to beam 71's sensor address; set
+  ``EnvConfig(reference_lidar_aliasing=True)`` to reproduce);
+* no-hit beams read -1.0 and *do* count as collision in the reward, exactly
+  like the reference (on the open floor every beam reads -1, so every step
+  pays the -50 penalty — this reproduces the reference's published learning
+  dynamics; set ``collision_ignores_nohit=True`` for a sane variant);
+* the maze env computes goals in the odometry frame consistently (the
+  reference subtracts a world-frame goal from a start-relative position,
+  offsetting the target by the start cell).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mujoco_playground_tpu.core.controller import bicycle_cmd_vel_to_controls
+from mujoco_playground_tpu.core.odometry import OdometryRef
+from mujoco_playground_tpu.physics import engine, sensors
+from mujoco_playground_tpu.physics.mathutil import quat_to_yaw
+from mujoco_playground_tpu.physics.model import Model, make_model
+from mujoco_playground_tpu.physics.state import State, make_state
+from mujoco_playground_tpu.spec.robot import ackermann_robot_v2
+from mujoco_playground_tpu.spec.scene import (SceneSpec, open_floor_scene,
+                                              pointmaze_scene)
+
+N_BEAMS = 72
+OBS_SIZE = 79
+ACTION_SIZE = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Env hyperparameters (reference ackermann_env.py:51-60 + maze variant)."""
+    max_episode_steps: int = 1000
+    goal_distance_threshold: float = 0.5
+    collision_threshold: float = 0.15
+    max_linear_velocity: float = 1.0
+    max_angular_velocity: float = 1.0
+    goal_distance_range: tuple = (2.0, 8.0)   # simple arena goal sampling
+    cell_noise: float = 0.25                  # maze start/goal xy noise
+    reference_lidar_aliasing: bool = False
+    collision_ignores_nohit: bool = False
+    physics_substeps: int = 1                 # reference: 1 (500 Hz control)
+
+
+@struct.dataclass
+class EnvState:
+    physics: State
+    odom_ref: OdometryRef
+    goal: Any          # (2,) goal position in the odometry frame
+    rng: Any
+    steps: Any         # int32 step count
+    obs: Any           # (79,) next observation (post-reset when done)
+    final_obs: Any     # (79,) pre-reset observation of the step just taken
+    reward: Any
+    terminated: Any    # bool
+    truncated: Any     # bool
+    done: Any          # bool
+    # info / metrics (reference step() info keys)
+    goal_distance: Any
+    collision: Any
+    min_lidar: Any
+
+
+class AckermannEnv:
+    """Compiled environment: holds the static model; all methods are pure."""
+
+    obs_size = OBS_SIZE
+    action_size = ACTION_SIZE
+
+    def __init__(self, scene: Optional[SceneSpec] = None,
+                 maze_id: Optional[str] = None,
+                 config: EnvConfig = EnvConfig(),
+                 dtype=jnp.float32,
+                 solver_iterations: int = 8,
+                 ls_iterations: int = 6):
+        self.config = config
+        if maze_id is not None:
+            scene = pointmaze_scene(maze_id)
+        if scene is None:
+            scene = open_floor_scene()
+        self.scene = scene
+        self.arena = "maze" if len(scene.free_cells) else "simple"
+        spec = ackermann_robot_v2()
+        self.model: Model = make_model(
+            spec, scene, dtype=dtype, solver_iterations=solver_iterations,
+            ls_iterations=ls_iterations)
+        self.dtype = dtype
+
+        if self.arena == "maze":
+            # Spawn math from the reference (maze_env.py:435-446): ground at
+            # z=-0.5, chassis center at -0.445 so wheels press slightly in.
+            spawn_z = scene.floor_z + 0.055
+            # Settle template: the reference runs mj_forward + 3 settling
+            # steps on every reset (maze_env.py:222-228); physics is
+            # translation-invariant in x/y, so settle once at the origin and
+            # reuse the result for every reset at an x/y offset.
+            qpos = self.model.qpos0.at[2].set(jnp.asarray(spawn_z, dtype))
+            st = make_state(self.model, qpos=qpos)
+            step3 = jax.jit(lambda s: engine.step(self.model, s))
+            for _ in range(3):
+                st = step3(st)
+            self._template = jax.device_get(st)
+            self._free_cells = jnp.asarray(scene.free_cells, dtype)
+        else:
+            # SimpleMapSpawner drops the robot from z=0.1 with no settling
+            # (simple_map_spawner.py:37-52, ackermann_env.py:150-153).
+            qpos = self.model.qpos0.at[2].set(jnp.asarray(0.1, dtype))
+            self._template = jax.device_get(make_state(self.model, qpos=qpos))
+            self._free_cells = None
+
+    # ------------------------------------------------------------------ reset
+    def reset(self, rng) -> EnvState:
+        dtype = self.dtype
+        rng, k_start, k_goal, k_noise = jax.random.split(rng, 4)
+        template: State = jax.tree.map(jnp.asarray, self._template)
+
+        if self.arena == "maze":
+            n = self._free_cells.shape[0]
+            gi = jax.random.randint(k_goal, (), 0, n)
+            # start cell != goal cell (the reference's inner PointMaze
+            # resamples until distinct)
+            logits = jnp.where(
+                jnp.arange(n) == gi, -jnp.inf, jnp.zeros(n, dtype))
+            si = jax.random.categorical(k_start, logits)
+            noise = jax.random.uniform(
+                k_noise, (4,), dtype,
+                minval=-self.config.cell_noise, maxval=self.config.cell_noise)
+            start_xy = self._free_cells[si] + noise[:2] * self.scene.cell_size
+            goal_xy = self._free_cells[gi] + noise[2:] * self.scene.cell_size
+            qpos = template.qpos.at[0:2].set(start_xy)
+            physics = template.replace(
+                qpos=qpos,
+                xpos=template.xpos.at[1:, 0:2].add(
+                    start_xy - template.qpos[0:2]),
+                time=jnp.zeros((), dtype))
+            ref = OdometryRef(position=physics.xpos[1], quat=physics.xquat[1])
+            goal = goal_xy - physics.xpos[1, :2]
+        else:
+            physics = template
+            ref = OdometryRef(position=physics.xpos[1], quat=physics.xquat[1])
+            lo, hi = self.config.goal_distance_range
+            dist = jax.random.uniform(k_goal, (), dtype, lo, hi)
+            ang = jax.random.uniform(k_start, (), dtype, 0.0, 2 * jnp.pi)
+            goal = jnp.stack([dist * jnp.cos(ang), dist * jnp.sin(ang)])
+
+        obs, metrics = self._observe(physics, ref, goal)
+        zero = jnp.zeros((), dtype)
+        false = jnp.zeros((), bool)
+        return EnvState(
+            physics=physics, odom_ref=ref, goal=goal, rng=rng,
+            steps=jnp.zeros((), jnp.int32), obs=obs, final_obs=obs,
+            reward=zero, terminated=false, truncated=false, done=false,
+            goal_distance=metrics["goal_distance"],
+            collision=metrics["collision"], min_lidar=metrics["min_lidar"])
+
+    # ------------------------------------------------------------------- step
+    def step(self, state: EnvState, action) -> EnvState:
+        cfg = self.config
+        action = jnp.clip(jnp.asarray(action, self.dtype), -1.0, 1.0)
+        linear_x = action[0] * cfg.max_linear_velocity
+        angular_z = action[1] * cfg.max_angular_velocity
+        ctrl = bicycle_cmd_vel_to_controls(linear_x, angular_z)
+        physics = state.physics.replace(ctrl=ctrl)
+        for _ in range(cfg.physics_substeps):
+            physics = engine.step(self.model, physics)
+
+        obs, metrics = self._observe(physics, state.odom_ref, state.goal)
+        goal_distance = metrics["goal_distance"]
+        collision = metrics["collision"]
+
+        terminated = goal_distance < cfg.goal_distance_threshold
+        reward = (-goal_distance * 0.1
+                  + jnp.where(terminated, 100.0, 0.0)
+                  + jnp.where(collision, -50.0, 0.0)
+                  - 0.01).astype(self.dtype)
+        steps = state.steps + 1
+        truncated = (steps >= cfg.max_episode_steps) & ~terminated
+        return state.replace(
+            physics=physics, obs=obs, final_obs=obs, reward=reward,
+            steps=steps, terminated=terminated, truncated=truncated,
+            done=terminated | truncated,
+            goal_distance=goal_distance, collision=collision,
+            min_lidar=metrics["min_lidar"])
+
+    def step_autoreset(self, state: EnvState, action) -> EnvState:
+        """Step with branchless in-step auto-reset (lockstep semantics).
+
+        Where the step ends an episode, the *continuation* state (physics,
+        obs, goal, counters) is replaced by a fresh reset while the step's
+        outcome fields (reward, done flags, info, and ``final_obs`` — the
+        terminal observation) are kept, so every index in a rollout is a real
+        transition and GAE can bootstrap truncated episodes from
+        ``final_obs`` (correct timeout handling, the TPU twin of SB3's
+        ``handle_timeout_termination``).
+        """
+        st = self.step(state, action)
+        rng, sub = jax.random.split(st.rng)
+        fresh = self.reset(sub).replace(rng=rng)
+        merged = jax.tree.map(lambda a, b: jnp.where(st.done, a, b), fresh, st)
+        return merged.replace(
+            reward=st.reward, terminated=st.terminated, truncated=st.truncated,
+            done=st.done, final_obs=st.final_obs,
+            goal_distance=st.goal_distance, collision=st.collision,
+            min_lidar=st.min_lidar)
+
+    # ------------------------------------------------- batched fast path
+    def step_batch(self, states: EnvState, actions) -> EnvState:
+        """Batched step (leaves carry a leading env axis).
+
+        Semantics identical to ``vmap(step)``, but physics goes through
+        ``engine.step_batch`` whose Newton solver runs batch-last in TPU
+        lanes (~2x faster than the vmapped per-env path at 4096 envs).
+        """
+        cfg = self.config
+        actions = jnp.clip(jnp.asarray(actions, self.dtype), -1.0, 1.0)
+        ctrl = bicycle_cmd_vel_to_controls(
+            actions[..., 0] * cfg.max_linear_velocity,
+            actions[..., 1] * cfg.max_angular_velocity)
+        physics = states.physics.replace(ctrl=ctrl)
+        for _ in range(cfg.physics_substeps):
+            physics = engine.step_batch(self.model, physics)
+
+        obs, metrics = jax.vmap(self._observe)(physics, states.odom_ref,
+                                               states.goal)
+        goal_distance = metrics["goal_distance"]
+        collision = metrics["collision"]
+        terminated = goal_distance < cfg.goal_distance_threshold
+        reward = (-goal_distance * 0.1
+                  + jnp.where(terminated, 100.0, 0.0)
+                  + jnp.where(collision, -50.0, 0.0)
+                  - 0.01).astype(self.dtype)
+        steps = states.steps + 1
+        truncated = (steps >= cfg.max_episode_steps) & ~terminated
+        return states.replace(
+            physics=physics, obs=obs, final_obs=obs, reward=reward,
+            steps=steps, terminated=terminated, truncated=truncated,
+            done=terminated | truncated,
+            goal_distance=goal_distance, collision=collision,
+            min_lidar=metrics["min_lidar"])
+
+    def step_autoreset_batch(self, states: EnvState, actions) -> EnvState:
+        """Batched step with in-step auto-reset (see step_autoreset)."""
+        st = self.step_batch(states, actions)
+        rngs = jax.vmap(jax.random.split)(st.rng)
+        fresh = jax.vmap(self.reset)(rngs[:, 1])
+        fresh = fresh.replace(rng=rngs[:, 0])
+        done = st.done
+
+        def sel(a, b):
+            d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
+            return jnp.where(d, a, b)
+
+        merged = jax.tree.map(sel, fresh, st)
+        return merged.replace(
+            reward=st.reward, terminated=st.terminated, truncated=st.truncated,
+            done=st.done, final_obs=st.final_obs,
+            goal_distance=st.goal_distance, collision=st.collision,
+            min_lidar=st.min_lidar)
+
+    # ------------------------------------------------------------------- obs
+    def _observe(self, physics: State, ref: OdometryRef, goal):
+        cfg = self.config
+        lidar = sensors.lidar_scan(self.model, physics)
+        if cfg.reference_lidar_aliasing:
+            # Reproduce the reference's name-lookup bug: obs slots 0-9 read
+            # beam 71's sensor address (see module docstring).
+            lidar = lidar.at[0:10].set(lidar[71])
+        pos_diff = physics.xpos[1] - ref.position
+        heading = quat_to_yaw(physics.xquat[1])
+        robot_xy = pos_diff[:2]
+        goal_vec = goal - robot_xy
+        goal_distance = jnp.linalg.norm(goal_vec)
+        goal_angle = jnp.arctan2(goal_vec[1], goal_vec[0]) - heading
+        goal_angle = jnp.arctan2(jnp.sin(goal_angle), jnp.cos(goal_angle))
+        obs = jnp.concatenate([
+            lidar, jnp.stack([pos_diff[0], pos_diff[1], heading]),
+            jnp.stack([goal_vec[0], goal_vec[1], goal_distance, goal_angle]),
+        ]).astype(self.dtype)
+        if cfg.collision_ignores_nohit:
+            min_lidar = jnp.min(jnp.where(lidar < 0, jnp.inf, lidar))
+        else:
+            min_lidar = jnp.min(lidar)
+        collision = min_lidar < cfg.collision_threshold
+        return obs, dict(goal_distance=goal_distance, collision=collision,
+                         min_lidar=min_lidar)

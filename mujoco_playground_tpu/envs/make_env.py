@@ -1,0 +1,54 @@
+"""Env factory — restores the reference's lost ``make_env`` API.
+
+The reference's ``src/rl/make_env.py`` survives only as bytecode (SURVEY.md
+§2 component #17); its recovered signature is reproduced here:
+``make_ackermann_env(env_type='maze', maze_id='PointMaze_UMaze-v3', ...)``
+dispatching to the maze or simple env, and ``list_available_mazes()``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from mujoco_playground_tpu.envs.ackermann_env import AckermannEnv, EnvConfig
+from mujoco_playground_tpu.spec.scene import (MAZE_ALIASES, POINTMAZE_MAPS,
+                                              maze_flat_scene)
+from mujoco_playground_tpu.spec.scene import list_available_mazes  # noqa: F401
+
+
+def make_ackermann_env(env_type: str = "maze",
+                       maze_id: str = "PointMaze_UMaze-v3",
+                       max_linear_velocity: float = 0.5,
+                       max_angular_velocity: float = 1.0,
+                       goal_distance_threshold: float = 0.3,
+                       max_episode_steps: int = 1000,
+                       dtype=jnp.float32,
+                       **kwargs) -> AckermannEnv:
+    """Create an Ackermann navigation env.
+
+    Args:
+      env_type: 'maze' (PointMaze arena), 'simple' (open floor), or
+        'maze_flat' (the hand-authored 38-obstacle grid).
+    """
+    config = EnvConfig(
+        max_linear_velocity=max_linear_velocity,
+        max_angular_velocity=max_angular_velocity,
+        goal_distance_threshold=goal_distance_threshold,
+        max_episode_steps=max_episode_steps,
+        **{k: v for k, v in kwargs.items() if k in EnvConfig.__annotations__})
+    if env_type == "maze":
+        maze_id = MAZE_ALIASES.get(maze_id, maze_id)
+        if maze_id not in POINTMAZE_MAPS:
+            raise ValueError(
+                f"Unknown maze id {maze_id!r}; available: "
+                f"{list(POINTMAZE_MAPS)}")
+        return AckermannEnv(maze_id=maze_id, config=config, dtype=dtype)
+    if env_type == "simple":
+        return AckermannEnv(config=config, dtype=dtype)
+    if env_type == "maze_flat":
+        return AckermannEnv(scene=maze_flat_scene(), config=config,
+                            dtype=dtype)
+    raise ValueError(
+        f"Unknown env_type {env_type!r} (expected 'maze', 'simple', or "
+        f"'maze_flat')")

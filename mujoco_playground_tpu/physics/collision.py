@@ -141,7 +141,10 @@ def collide(model: Model, xpos, xquat) -> Contacts:
                 body_l.append(b)
 
     # --- chassis plate corners vs plane (and top-1 box) ---------------------
-    corner_signs = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+    # The proxies are thin plates (4 mm along their local x); the two corner
+    # pairs across the thin axis are nearly coincident, so one x-side's 4
+    # corners suffice — halves the contact rows for free.
+    corner_signs = np.array([[1, sy, sz] for sy in (-1, 1)
                              for sz in (-1, 1)], dtype=np.float64)
     for i in range(len(model.chassis_box_body)):
         b = model.chassis_box_body[i]
@@ -152,7 +155,7 @@ def collide(model: Model, xpos, xquat) -> Contacts:
         fric = jnp.maximum(model.plane_friction[0],
                            jnp.asarray(1.0, dtype))
         solref, solimp = model.plane_solref, model.plane_solimp
-        for k in range(8):
+        for k in range(len(corner_signs)):
             p = corners[k]
             dist = p[2] - model.plane_z
             pos_l.append(p - 0.5 * dist * zhat)
@@ -168,7 +171,7 @@ def collide(model: Model, xpos, xquat) -> Contacts:
             j = jnp.argmin(d2)
             bp = model.scene_box_pos[j]
             bs = model.scene_box_size[j]
-            for k in range(8):
+            for k in range(len(corner_signs)):
                 dist, n, p = _point_box(corners[k], bp, bs, dtype)
                 pos_l.append(p)
                 frame_l.append(_make_frame(n))

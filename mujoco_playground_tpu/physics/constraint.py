@@ -1,14 +1,22 @@
-"""Constraint assembly: MuJoCo-compatible efc rows with static shapes.
+"""Constraint assembly: MuJoCo-compatible efc rows in structured form.
 
-Row order mirrors MuJoCo: [equality | dof friction | joint limits | contact
-pyramid].  Every formula below was verified numerically against MuJoCo 3.10
-efc dumps on the reference robot (impedance spline, aref = -b*Jv - K*pos with
-b = 2/(d_max*tc), K = d(r)/(d_max^2*tc^2*zeta^2), R = (1-d)/d * diagApprox,
-pyramidal diagApprox = (iw1+iw2) * 2*mu^2*(1+mu^2), pyramid rows
-[n+mu*t1, n-mu*t1, n+mu*t2, n-mu*t2]).
+Instead of a dense (nefc x nv) Jacobian, rows are stored by structure — the
+TPU-first choice: dense J at 4096 envs means hundreds of MB of padded HBM
+traffic per step, while the structured form is a few (C x nv) vectors plus
+scalar gathers.
 
-Inactive rows (separated contacts, un-violated limits) stay in the arrays but
-are masked: their force and Hessian weight are zeroed in the solver.
+* Joint rows (equality / dof-friction / joint-limit) have 1-2 nonzeros:
+  J = coef1 * e_dof1 + coef2 * e_dof2.  Matvecs become gathers/scatters.
+* Contact rows come in pyramid quadruples sharing one geometry: row =
+  Jn +- mu * Jt; only (Jn, Jt1, Jt2) are materialized and the solver expands
+  combinations analytically.
+
+All constants were verified numerically against MuJoCo 3.10 efc dumps on the
+reference robot (impedance spline; aref = -b*Jv - K*pos with b = 2/(dmax*tc),
+K = d(r)/(dmax^2 tc^2 zeta^2); R = (1-d)/d * diagApprox; pyramidal
+diagApprox = (iw1+iw2) * 2 mu^2 (1+mu^2); pyramid row order
+[n+mu t1, n-mu t1, n+mu t2, n-mu t2]).  Inactive rows (separated contacts,
+un-violated limits) are masked, not removed — static shapes for XLA.
 """
 from __future__ import annotations
 
@@ -18,24 +26,37 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from mujoco_playground_tpu.physics import kinematics
 from mujoco_playground_tpu.physics.collision import Contacts
 from mujoco_playground_tpu.physics.model import Model
 
 # Row kinds (static codes).
-EQ = 0       # two-sided quadratic
+EQ = 0        # two-sided quadratic
 FRICTION = 1  # box-bounded (dry friction)
-CONE = 2     # one-sided (limits + contact pyramid rows)
+CONE = 2      # one-sided (limits; contact rows are implicitly CONE)
 
 
 @struct.dataclass
 class Efc:
-    J: Any           # (nefc, nv)
-    aref: Any        # (nefc,)
-    R: Any           # (nefc,)
-    floss: Any       # (nefc,) friction-loss bound (FRICTION rows)
-    active: Any      # (nefc,) 0/1 gate (inactive padded rows -> 0)
-    kind: Any        # (nefc,) static row kind codes (numpy)
+    """Structured constraint rows for one env."""
+
+    # --- joint rows (static count) ---
+    j_dof1: Any = struct.field(pytree_node=False)  # static (nj,) int array
+    j_dof2: Any = struct.field(pytree_node=False)  # static (nj,) ints
+    j_coef1: Any     # (nj,)
+    j_coef2: Any     # (nj,) 0 where unused
+    j_aref: Any      # (nj,)
+    j_R: Any         # (nj,)
+    j_floss: Any     # (nj,)
+    j_active: Any    # (nj,)
+    j_kind: Any = struct.field(pytree_node=False)  # static (nj,) kind codes
+    # --- contact rows (4 per contact slot) ---
+    c_Jn: Any        # (C, nv)
+    c_Jt1: Any       # (C, nv)
+    c_Jt2: Any       # (C, nv)
+    c_aref: Any      # (C, 4) per pyramid row
+    c_R: Any         # (C,) shared across the 4 rows
+    c_mu: Any        # (C,)
+    c_active: Any    # (C,)
 
 
 def impedance(solimp, r):
@@ -65,20 +86,12 @@ def make_efc(model: Model, qpos, qvel, S, mask, anchor,
              contacts: Contacts) -> Efc:
     dtype = qpos.dtype
     nv = model.nv
-    rows_J, rows_aref, rows_R, rows_fl, rows_act, rows_kind = (
-        [], [], [], [], [], [])
-
-    def add(J, aref, R, fl, act, kind):
-        rows_J.append(J)
-        rows_aref.append(aref)
-        rows_R.append(R)
-        rows_fl.append(fl)
-        rows_act.append(act)
-        rows_kind.append(kind)
-
+    dof1_l, dof2_l, c1_l, c2_l = [], [], [], []
+    aref_l, R_l, fl_l, act_l, kind_l = [], [], [], [], []
     one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
 
-    # --- equality: joint couplings q1 = poly(q2) ---------------------------
+    # --- equality: joint couplings q1 = poly(q2) ----------------------------
     for e, (d1, d2) in enumerate(model.eq_dof_pairs):
         q1adr = _dof_to_qposadr(model, d1)
         q2adr = _dof_to_qposadr(model, d2)
@@ -89,58 +102,62 @@ def make_efc(model: Model, qpos, qvel, S, mask, anchor,
         dpoly = (coef[1] + 2 * coef[2] * q2 + 3 * coef[3] * q2**2
                  + 4 * coef[4] * q2**3)
         pos = (qpos[q1adr] - model.qpos0[q1adr]) - poly
-        J = jnp.zeros(nv, dtype).at[d1].set(1.0).at[d2].set(-dpoly)
-        vel = J @ qvel
+        vel = qvel[d1] - dpoly * qvel[d2]
         aref, d = kbi(model.eq_solref[e], model.eq_solimp[e], pos, vel)
         diag = model.dof_invweight0[d1] + model.dof_invweight0[d2]
-        R = jnp.maximum((1.0 - d) / d * diag, 1e-10)
-        add(J, aref, R, jnp.zeros((), dtype), one, EQ)
+        dof1_l.append(d1); dof2_l.append(d2)
+        c1_l.append(one); c2_l.append(-dpoly)
+        aref_l.append(aref)
+        R_l.append(jnp.maximum((1.0 - d) / d * diag, 1e-10))
+        fl_l.append(zero); act_l.append(one); kind_l.append(EQ)
 
     # --- dof friction loss --------------------------------------------------
     default_solref = jnp.asarray([0.02, 1.0], dtype)
     default_solimp = jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype)
     for d1 in model.friction_dofs:
-        J = jnp.zeros(nv, dtype).at[d1].set(1.0)
-        vel = qvel[d1]
-        aref, d = kbi(default_solref, default_solimp,
-                      jnp.zeros((), dtype), vel)
-        R = jnp.maximum((1.0 - d) / d * model.dof_invweight0[d1], 1e-10)
-        add(J, aref, R, model.dof_frictionloss[d1], one, FRICTION)
+        aref, d = kbi(default_solref, default_solimp, zero, qvel[d1])
+        dof1_l.append(d1); dof2_l.append(0)
+        c1_l.append(one); c2_l.append(zero)
+        aref_l.append(aref)
+        R_l.append(jnp.maximum((1.0 - d) / d * model.dof_invweight0[d1], 1e-10))
+        fl_l.append(model.dof_frictionloss[d1]); act_l.append(one)
+        kind_l.append(FRICTION)
 
     # --- joint limits (lower, upper per limited dof) ------------------------
     for d1 in model.limited_dofs:
         jid = model.dof_jnt[d1]
         qadr = _dof_to_qposadr(model, d1)
-        lo, hi = model.jnt_range[jid, 0], model.jnt_range[jid, 1]
         solref = model.jnt_solref_limit[jid]
         solimp = model.jnt_solimp_limit[jid]
         for side in (0, 1):
             if side == 0:
-                dist = qpos[qadr] - lo
-                J = jnp.zeros(nv, dtype).at[d1].set(1.0)
+                dist = qpos[qadr] - model.jnt_range[jid, 0]
+                coef = one
             else:
-                dist = hi - qpos[qadr]
-                J = jnp.zeros(nv, dtype).at[d1].set(-1.0)
-            act = (dist < 0).astype(dtype)
-            vel = J @ qvel
-            aref, d = kbi(solref, solimp, jnp.minimum(dist, 0.0), vel)
-            R = jnp.maximum((1.0 - d) / d * model.dof_invweight0[d1], 1e-10)
-            add(J, aref, R, jnp.zeros((), dtype), act, CONE)
+                dist = model.jnt_range[jid, 1] - qpos[qadr]
+                coef = -one
+            aref, d = kbi(solref, solimp, jnp.minimum(dist, 0.0),
+                          coef * qvel[d1])
+            dof1_l.append(d1); dof2_l.append(0)
+            c1_l.append(coef); c2_l.append(zero)
+            aref_l.append(aref)
+            R_l.append(jnp.maximum(
+                (1.0 - d) / d * model.dof_invweight0[d1], 1e-10))
+            fl_l.append(zero); act_l.append((dist < 0).astype(dtype))
+            kind_l.append(CONE)
 
-    # --- contacts: 4 pyramid rows each --------------------------------------
+    # --- contacts -----------------------------------------------------------
     C = contacts.dist.shape[0]
+    from mujoco_playground_tpu.physics import kinematics
     body_mask = jnp.asarray(np.asarray(kinematics.ancestor_mask(model)),
                             dtype)[contacts.body]          # (C, nv)
-    # translational point Jacobian rows for each contact: (C, nv, 3)
+    # translational point Jacobian: v(p) = S_lin + S_ang x (p - anchor)
     Jp = (S[None, :, 3:] + jnp.cross(
         jnp.broadcast_to(S[None, :, :3], (C, nv, 3)),
         (contacts.pos[:, None, :] - anchor))) * body_mask[:, :, None]
-    n = contacts.frame[:, 0]
-    t1 = contacts.frame[:, 1]
-    t2 = contacts.frame[:, 2]
-    Jn = jnp.einsum('cvk,ck->cv', Jp, n)
-    Jt1 = jnp.einsum('cvk,ck->cv', Jp, t1)
-    Jt2 = jnp.einsum('cvk,ck->cv', Jp, t2)
+    Jn = jnp.sum(Jp * contacts.frame[:, 0][:, None, :], axis=-1)
+    Jt1 = jnp.sum(Jp * contacts.frame[:, 1][:, None, :], axis=-1)
+    Jt2 = jnp.sum(Jp * contacts.frame[:, 2][:, None, :], axis=-1)
     mu_ = contacts.friction
     act = (contacts.dist < 0).astype(dtype)
     d_imp = impedance(contacts.solimp, contacts.dist)
@@ -151,24 +168,22 @@ def make_efc(model: Model, qpos, qvel, S, mask, anchor,
     diag = jnp.maximum(
         contacts.diag_approx * 2.0 * mu_**2 * (1.0 + mu_**2), 1e-12)
     Rrow = jnp.maximum((1.0 - d_imp) / d_imp * diag, 1e-10)
-    m1 = mu_[:, None]
-    # MuJoCo pyramid order per contact: [n+mu t1, n-mu t1, n+mu t2, n-mu t2]
-    Jpyr = jnp.stack([Jn + m1 * Jt1, Jn - m1 * Jt1,
-                      Jn + m1 * Jt2, Jn - m1 * Jt2], axis=1)  # (C, 4, nv)
-    vel = jnp.einsum('crv,v->cr', Jpyr, qvel)
-    aref_pyr = -bcoef[:, None] * vel - (kcoef * contacts.dist)[:, None]
+    vn = jnp.sum(Jn * qvel, axis=-1)
+    vt1 = jnp.sum(Jt1 * qvel, axis=-1)
+    vt2 = jnp.sum(Jt2 * qvel, axis=-1)
+    vel4 = jnp.stack([vn + mu_ * vt1, vn - mu_ * vt1,
+                      vn + mu_ * vt2, vn - mu_ * vt2], axis=-1)
+    aref4 = -bcoef[:, None] * vel4 - (kcoef * contacts.dist)[:, None]
 
-    zero = jnp.zeros((), dtype)
-    J = jnp.concatenate([jnp.stack(rows_J), Jpyr.reshape(-1, nv)])
-    aref = jnp.concatenate([jnp.stack(rows_aref), aref_pyr.reshape(-1)])
-    R = jnp.concatenate([jnp.stack(rows_R),
-                         jnp.broadcast_to(Rrow[:, None], (C, 4)).reshape(-1)])
-    floss = jnp.concatenate([jnp.stack(rows_fl), jnp.zeros(4 * C, dtype)])
-    active = jnp.concatenate([jnp.stack(rows_act),
-                              jnp.broadcast_to(act[:, None], (C, 4)).reshape(-1)])
-    kind = np.concatenate([np.asarray(rows_kind, dtype=np.int32),
-                           np.full(4 * C, CONE, dtype=np.int32)])
-    return Efc(J=J, aref=aref, R=R, floss=floss, active=active, kind=kind)
+    return Efc(
+        j_dof1=np.asarray(dof1_l, np.int32),
+        j_dof2=np.asarray(dof2_l, np.int32),
+        j_coef1=jnp.stack(c1_l), j_coef2=jnp.stack(c2_l),
+        j_aref=jnp.stack(aref_l), j_R=jnp.stack(R_l),
+        j_floss=jnp.stack(fl_l), j_active=jnp.stack(act_l),
+        j_kind=np.asarray(kind_l, np.int32),
+        c_Jn=Jn, c_Jt1=Jt1, c_Jt2=Jt2, c_aref=aref4, c_R=Rrow, c_mu=mu_,
+        c_active=act)
 
 
 def _dof_to_qposadr(model: Model, dof: int) -> int:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_playground_tpu.physics import (collision, constraint, inertia,
-                                           kinematics, solver)
+                                           kinematics, linalg_small, solver)
 from mujoco_playground_tpu.physics import mathutil as mu
 from mujoco_playground_tpu.physics.model import JNT_FREE, JNT_HINGE, JNT_SLIDE, Model
 from mujoco_playground_tpu.physics.state import State
@@ -41,17 +41,20 @@ def actuator_force(model: Model, qpos, qvel, ctrl):
 
 
 def forward(model: Model, state: State):
-    """Forward dynamics: returns (qacc, aux dict with M, xpos, xquat, ...)."""
+    """Forward dynamics: returns (qacc, aux dict with M, xpos, xquat, ...).
+
+    Uses the body frames cached in ``state`` (make_state/step keep
+    state.xpos/xquat in sync with qpos), avoiding a second FK per step.
+    """
     qpos, qvel, ctrl = state.qpos, state.qvel, state.ctrl
     mask = jnp.asarray(kinematics.ancestor_mask(model), qpos.dtype)
-    xpos, xquat = kinematics.fk(model, qpos)
+    xpos, xquat = state.xpos, state.xquat
     M, S, anchor = inertia.crba(model, xpos, xquat, mask)
     bias = inertia.bias_force(model, xpos, xquat, qvel, S, mask, anchor)
     qfrc_passive = -model.dof_damping * qvel
     qfrc_act = actuator_force(model, qpos, qvel, ctrl)
     qfrc_smooth = qfrc_act + qfrc_passive - bias
-    qacc_smooth = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(M), qfrc_smooth)
+    qacc_smooth = linalg_small.solve_spd_small(M, qfrc_smooth)
 
     contacts = collision.collide(model, xpos, xquat)
     efc = constraint.make_efc(model, qpos, qvel, S, mask, anchor, contacts)
@@ -59,7 +62,8 @@ def forward(model: Model, state: State):
     aux = dict(M=M, xpos=xpos, xquat=xquat, qfrc_smooth=qfrc_smooth,
                qacc_smooth=qacc_smooth, contacts=contacts, efc=efc,
                efc_force=efc_force,
-               qfrc_constraint=efc.J.T @ efc_force)
+               qfrc_constraint=solver.constraint_force(
+                   efc, efc_force, model.nv, qpos.dtype))
     return qacc, aux
 
 
@@ -78,6 +82,59 @@ def _integrate_pos(model: Model, qpos, qvel, h):
     return jnp.concatenate(out)
 
 
+def forward_batch(model: Model, states: State):
+    """Batched forward dynamics: vmapped assembly + batch-last Newton solve.
+
+    ``states`` leaves carry a leading env axis.  The cheap assembly stages
+    (FK, CRBA, bias, collision, efc) run under vmap; the Newton solve — the
+    hot loop — runs in solver_batched with the env axis in TPU lanes.
+    """
+    def pre(state):
+        qpos, qvel, ctrl = state.qpos, state.qvel, state.ctrl
+        mask = jnp.asarray(kinematics.ancestor_mask(model), qpos.dtype)
+        xpos, xquat = state.xpos, state.xquat
+        M, S, anchor = inertia.crba(model, xpos, xquat, mask)
+        bias = inertia.bias_force(model, xpos, xquat, qvel, S, mask, anchor)
+        qfrc_smooth = (actuator_force(model, qpos, qvel, ctrl)
+                       - model.dof_damping * qvel - bias)
+        contacts = collision.collide(model, xpos, xquat)
+        efc = constraint.make_efc(model, qpos, qvel, S, mask, anchor,
+                                  contacts)
+        return M, qfrc_smooth, efc
+
+    from mujoco_playground_tpu.physics import solver_batched
+    M, qfrc_smooth, efc = jax.vmap(pre)(states)
+    Mt = jnp.moveaxis(M, 0, -1)
+    qacc_smooth = linalg_small.cho_solve_bl(
+        linalg_small.cholesky_bl(Mt), qfrc_smooth.T).T
+    qacc, forces = solver_batched.solve_batched(model, M, qacc_smooth, efc)
+    return qacc, M
+
+
+def step_batch(model: Model, states: State) -> State:
+    """Batched physics step (the TPU fast path; semantics == vmap(step))."""
+    h = model.timestep
+    qacc, M = forward_batch(model, states)
+
+    # Batch-last implicit-damping solve: (M + hD) v' = Mv + hDv + hMa.
+    Mt = jnp.moveaxis(M, 0, -1)                          # (nv, nv, B)
+    v = states.qvel.T                                    # (nv, B)
+    a = qacc.T
+    rhs = (jnp.sum(Mt * (v + h * a)[None, :, :], axis=1)
+           + h * model.dof_damping[:, None] * v)
+    MhDt = Mt + h * jnp.diag(model.dof_damping)[:, :, None]
+    qvel_new = linalg_small.cho_solve_bl(
+        linalg_small.cholesky_bl(MhDt), rhs).T           # (B, nv)
+
+    def integrate(state, qvel_i):
+        qpos_new = _integrate_pos(model, state.qpos, qvel_i, h)
+        xpos, xquat = kinematics.fk(model, qpos_new)
+        return state.replace(qpos=qpos_new, qvel=qvel_i,
+                             time=state.time + h, xpos=xpos, xquat=xquat)
+
+    return jax.vmap(integrate)(states, qvel_new)
+
+
 def step(model: Model, state: State) -> State:
     """One physics step (semi-implicit Euler, implicit joint damping)."""
     h = model.timestep
@@ -89,8 +146,7 @@ def step(model: Model, state: State) -> State:
     rhs = (M @ (state.qvel + h * qacc)
            + h * model.dof_damping * state.qvel)
     MhD = M + h * jnp.diag(model.dof_damping)
-    qvel_new = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(MhD), rhs)
+    qvel_new = linalg_small.solve_spd_small(MhD, rhs)
     qpos_new = _integrate_pos(model, state.qpos, qvel_new, h)
     xpos, xquat = kinematics.fk(model, qpos_new)
     return state.replace(qpos=qpos_new, qvel=qvel_new, time=state.time + h,

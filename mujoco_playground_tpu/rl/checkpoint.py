@@ -1,0 +1,55 @@
+"""Checkpoint/resume via Orbax — full train-state persistence.
+
+The reference saves SB3 zips (policy + optimizer torch state_dicts) but has
+no resume path (SURVEY.md §5: train.py never calls PPO.load).  Here the
+*entire* train state round-trips: params, optimizer state, env states, RNG,
+and step counter — resuming reproduces the exact training stream.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except ImportError:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def save_checkpoint(path: str, train_state, step: int) -> str:
+    """Save train state at `path/step`. Returns the checkpoint dir."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    if _HAS_ORBAX:
+        ckpt = ocp.StandardCheckpointer()
+        target = os.path.join(path, f"step_{step:010d}")
+        ckpt.save(target, jax.device_get(train_state))
+        ckpt.wait_until_finished()
+        return target
+    # Fallback: flat npz of leaves
+    leaves, treedef = jax.tree.flatten(jax.device_get(train_state))
+    target = os.path.join(path, f"step_{step:010d}.npz")
+    np.savez(target, *leaves)
+    return target
+
+
+def latest_checkpoint(path: str) -> Optional[str]:
+    if not os.path.isdir(path):
+        return None
+    entries = sorted(e for e in os.listdir(path) if e.startswith("step_"))
+    return os.path.join(path, entries[-1]) if entries else None
+
+
+def restore_checkpoint(target: str, template) -> Any:
+    """Restore into the structure of `template` (an abstract train state)."""
+    if _HAS_ORBAX and os.path.isdir(target):
+        ckpt = ocp.StandardCheckpointer()
+        return ckpt.restore(target, jax.device_get(template))
+    data = np.load(target, allow_pickle=False)
+    leaves = [data[k] for k in data.files]
+    treedef = jax.tree.structure(template)
+    return jax.tree.unflatten(treedef, leaves)

@@ -1,0 +1,71 @@
+"""Single config surface for envs + training (fixes the reference's three
+unreconciled config systems: argparse flags, the dead RLConfig dataclass, and
+env ctor kwargs — SURVEY.md §5).  Defaults mirror the reference trainer's
+algorithm defaults (src/rl/train.py:99-121) and env thresholds
+(src/rl/envs/ackermann_env.py:51-60)."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RLConfig:
+    # Environment
+    env_type: str = "simple"              # simple | maze | maze_flat
+    maze_id: str = "PointMaze_UMaze-v3"
+    max_episode_steps: int = 1000
+    goal_distance_threshold: float = 0.5
+    collision_threshold: float = 0.15
+    max_linear_velocity: float = 1.0
+    max_angular_velocity: float = 1.0
+
+    # Reward weights (ackermann_env.py:287-301)
+    distance_weight: float = -0.1
+    goal_bonus: float = 100.0
+    collision_penalty: float = -50.0
+    step_penalty: float = -0.01
+
+    # Vectorization (the TPU axis the reference lacked: n_envs=1 there)
+    num_envs: int = 4096
+    unroll_length: int = 32               # T per rollout (n_steps per env)
+
+    # PPO (train.py:100-107)
+    learning_rate: float = 3e-4
+    num_minibatches: int = 32
+    ppo_epochs: int = 10
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ent_coef: float = 0.01
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    normalize_advantage: bool = True
+
+    # SAC (train.py:108-114)
+    sac_learning_rate: float = 3e-4
+    sac_buffer_size: int = 100000
+    sac_learning_starts: int = 1000
+    sac_batch_size: int = 256
+    sac_tau: float = 0.005
+
+    # TD3 (train.py:115-121)
+    td3_learning_rate: float = 3e-4
+    td3_policy_noise: float = 0.2
+    td3_noise_clip: float = 0.5
+    td3_policy_delay: int = 2
+
+    # Training cadence
+    total_timesteps: int = 100_000
+    eval_freq: int = 10_000
+    eval_episodes: int = 10
+    save_freq: int = 10_000
+    log_dir: str = "rl_logs"
+    seed: int = 0
+
+    # Device/precision
+    solver_iterations: int = 4
+    ls_iterations: int = 3
+
+
+default_config = RLConfig()

@@ -1,0 +1,192 @@
+"""PPO as a fused on-device actor-learner.
+
+The reference alternates SB3's Python rollout loop (2048 sequential env steps
+through DummyVecEnv, one env) with torch minibatch updates (src/rl/train.py:
+175-179).  Here one jitted ``train_step`` fuses the whole cycle on device:
+
+  rollout (lax.scan over T steps of the vmapped auto-resetting env)
+  -> GAE (reverse lax.scan over the time axis)
+  -> PPO epochs x minibatches (lax.scan over shuffled minibatches)
+
+Nothing leaves the device between updates; the host only reads back scalar
+metrics.  Algorithm semantics follow SB3 PPO (clipped surrogate, value MSE,
+entropy bonus, advantage normalization per minibatch, global-norm grad clip,
+Adam eps=1e-5, timeout bootstrapping from terminal observations).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mujoco_playground_tpu.rl import networks
+from mujoco_playground_tpu.rl.config import RLConfig
+
+
+@struct.dataclass
+class Transition:
+    obs: Any
+    action: Any
+    logp: Any
+    value: Any
+    reward: Any
+    terminated: Any
+    done: Any
+    final_value: Any   # V(final_obs) for bootstrap (timeout-correct)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    env_states: Any
+    rng: Any
+    global_step: Any
+
+
+def make_optimizer(config: RLConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.learning_rate, eps=1e-5),
+    )
+
+
+def init_train_state(env, network, config: RLConfig, rng) -> TrainState:
+    rng, k_params, k_reset = jax.random.split(rng, 3)
+    obs0 = jnp.zeros((env.obs_size,), jnp.float32)
+    params = network.init(k_params, obs0)
+    tx = make_optimizer(config)
+    opt_state = tx.init(params)
+    env_states = jax.vmap(env.reset)(
+        jax.random.split(k_reset, config.num_envs))
+    return TrainState(params=params, opt_state=opt_state,
+                      env_states=env_states, rng=rng,
+                      global_step=jnp.zeros((), jnp.int64)
+                      if jax.config.jax_enable_x64
+                      else jnp.zeros((), jnp.int32))
+
+
+def gae(rewards, values, final_values, terminated, done, gamma, lam):
+    """Generalized advantage estimation over the time axis (reverse scan).
+
+    Args are (T, B).  ``final_values`` is V(obs after the step, pre-reset) —
+    bootstrap target; ``terminated`` cuts the bootstrap (true termination),
+    ``done`` cuts the GAE recursion (either termination or truncation).
+    """
+    def body(carry, t):
+        r, v, fv, term, dn = t
+        delta = r + gamma * fv * (1.0 - term) - v
+        adv = delta + gamma * lam * (1.0 - dn) * carry
+        return adv, adv
+
+    _, advs = jax.lax.scan(
+        body, jnp.zeros_like(values[0]),
+        (rewards, values, final_values, terminated, done), reverse=True)
+    return advs
+
+
+def make_train_step(env, network, config: RLConfig) -> Callable:
+    """Returns the fused jittable train_step(ts) -> (ts, metrics)."""
+    tx = make_optimizer(config)
+    T = config.unroll_length
+    B = config.num_envs
+
+    def policy_apply(params, obs):
+        return network.apply(params, obs)
+
+    def rollout(params, env_states, rng):
+        def body(carry, key):
+            states = carry
+            mean, log_std, value = policy_apply(params, states.obs)
+            action, logp = networks.sample_action(mean, log_std, key)
+            next_states = env.step_autoreset_batch(
+                states, jnp.clip(action, -1.0, 1.0))
+            _, _, final_value = policy_apply(params, next_states.final_obs)
+            tr = Transition(
+                obs=states.obs, action=action, logp=logp, value=value,
+                reward=next_states.reward,
+                terminated=next_states.terminated.astype(jnp.float32),
+                done=next_states.done.astype(jnp.float32),
+                final_value=final_value)
+            return next_states, (tr, next_states.terminated,
+                                 next_states.done, next_states.reward)
+
+        keys = jax.random.split(rng, T)
+        env_states, (trs, term, done, rew) = jax.lax.scan(
+            body, env_states, keys)
+        return env_states, trs, dict(
+            episodes_finished=done.sum(),
+            successes=term.sum(),
+            mean_reward=rew.mean())
+
+    def loss_fn(params, batch, advantages, returns):
+        mean, log_std, value = policy_apply(params, batch.obs)
+        logp = networks.gaussian_logp(mean, log_std, batch.action)
+        ratio = jnp.exp(logp - batch.logp)
+        if config.normalize_advantage:
+            advantages = ((advantages - advantages.mean())
+                          / (advantages.std() + 1e-8))
+        pg1 = advantages * ratio
+        pg2 = advantages * jnp.clip(ratio, 1.0 - config.clip_range,
+                                    1.0 + config.clip_range)
+        policy_loss = -jnp.minimum(pg1, pg2).mean()
+        value_loss = 0.5 * jnp.mean((returns - value) ** 2)
+        entropy = networks.gaussian_entropy(log_std).mean()
+        total = (policy_loss + config.vf_coef * value_loss
+                 - config.ent_coef * entropy)
+        return total, dict(policy_loss=policy_loss, value_loss=value_loss,
+                           entropy=entropy,
+                           approx_kl=jnp.mean(batch.logp - logp),
+                           clip_frac=jnp.mean(
+                               (jnp.abs(ratio - 1.0)
+                                > config.clip_range).astype(jnp.float32)))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def update_epoch(carry, key):
+        params, opt_state, flat_batch, advs, rets = carry
+        n = advs.shape[0]
+        perm = jax.random.permutation(key, n)
+        mb = config.num_minibatches
+        mb_size = n // mb
+
+        def minibatch_step(c, idx):
+            params, opt_state = c
+            take = lambda x: jnp.take(x, idx, axis=0)
+            (loss, aux), grads = grad_fn(
+                params, jax.tree.map(take, flat_batch), take(advs), take(rets))
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), aux
+
+        idxs = perm[:mb * mb_size].reshape(mb, mb_size)
+        (params, opt_state), auxs = jax.lax.scan(
+            minibatch_step, (params, opt_state), idxs)
+        return (params, opt_state, flat_batch, advs, rets), auxs
+
+    def train_step(ts: TrainState):
+        rng, k_roll, k_update = jax.random.split(ts.rng, 3)
+        env_states, trs, roll_metrics = rollout(ts.params, ts.env_states,
+                                                k_roll)
+        advs = gae(trs.reward, trs.value, trs.final_value, trs.terminated,
+                   trs.done, config.gamma, config.gae_lambda)
+        rets = advs + trs.value
+
+        flatten = lambda x: x.reshape((T * B,) + x.shape[2:])
+        flat_batch = jax.tree.map(flatten, trs)
+        carry = (ts.params, ts.opt_state, flat_batch, flatten(advs),
+                 flatten(rets))
+        carry, auxs = jax.lax.scan(
+            update_epoch, carry, jax.random.split(k_update, config.ppo_epochs))
+        params, opt_state = carry[0], carry[1]
+        metrics = {**roll_metrics,
+                   **jax.tree.map(lambda x: x.mean(), auxs)}
+        return TrainState(
+            params=params, opt_state=opt_state, env_states=env_states,
+            rng=rng, global_step=ts.global_step + T * B), metrics
+
+    return train_step

@@ -1,0 +1,171 @@
+"""Training CLI — TPU twin of the reference trainer (src/rl/train.py).
+
+Same surface (--algo random/ppo, --maze, --timesteps, --learning-rate,
+--save-freq, --eval-freq, --goal-threshold, --max-velocity) plus the TPU
+axes the reference lacked: --num-envs (lockstep vectorization), --unroll,
+--seed.  PPO runs as a fused on-device actor-learner; checkpoints via Orbax
+land in rl_logs/<algo>/ like the reference's layout.
+
+Examples:
+    python -m mujoco_playground_tpu.rl.train --algo random --episodes 100
+    python -m mujoco_playground_tpu.rl.train --algo ppo --maze umaze \
+        --timesteps 1000000 --num-envs 2048
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_playground_tpu.envs import make_ackermann_env
+from mujoco_playground_tpu.rl import checkpoint as ckpt_lib
+from mujoco_playground_tpu.rl import ppo
+from mujoco_playground_tpu.rl.config import RLConfig
+from mujoco_playground_tpu.rl.evaluate import (deterministic_policy,
+                                               evaluate_agent)
+from mujoco_playground_tpu.rl.networks import ActorCritic
+from mujoco_playground_tpu.rl.random_policy import run_random_baseline
+from mujoco_playground_tpu.utils.logging import MetricsLogger
+
+
+def build_env(config: RLConfig):
+    return make_ackermann_env(
+        env_type=config.env_type, maze_id=config.maze_id,
+        max_linear_velocity=config.max_linear_velocity,
+        max_angular_velocity=config.max_angular_velocity,
+        goal_distance_threshold=config.goal_distance_threshold,
+        max_episode_steps=config.max_episode_steps)
+
+
+def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True):
+    env = build_env(config)
+    network = ActorCritic(action_size=env.action_size)
+    rng = jax.random.PRNGKey(config.seed)
+    ts = ppo.init_train_state(env, network, config, rng)
+
+    log_dir = os.path.join(config.log_dir, "ppo")
+    logger = MetricsLogger(log_dir)
+    if resume:
+        latest = ckpt_lib.latest_checkpoint(log_dir)
+        if latest:
+            ts = ckpt_lib.restore_checkpoint(latest, ts)
+            if verbose:
+                print(f"Resumed from {latest}")
+
+    train_step = jax.jit(ppo.make_train_step(env, network, config),
+                         donate_argnums=(0,))
+    steps_per_iter = config.num_envs * config.unroll_length
+    next_save = config.save_freq
+    next_eval = config.eval_freq
+
+    t_start = time.time()
+    while int(ts.global_step) < config.total_timesteps:
+        t0 = time.time()
+        ts, metrics = train_step(ts)
+        jax.block_until_ready(ts.params)
+        dt = time.time() - t0
+        gs = int(ts.global_step)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["steps_per_second"] = steps_per_iter / dt
+        metrics["global_step"] = gs
+        logger.log(gs, metrics)
+        if verbose:
+            print(f"step {gs:>10d} | {steps_per_iter/dt/1e3:8.1f}k sps | "
+                  f"reward/step {metrics['mean_reward']:+8.3f} | "
+                  f"eps {metrics['episodes_finished']:.0f} | "
+                  f"success {metrics['successes']:.0f} | "
+                  f"kl {metrics['approx_kl']:.4f}")
+        if gs >= next_save:
+            path = ckpt_lib.save_checkpoint(log_dir, ts, gs)
+            next_save += config.save_freq
+            if verbose:
+                print(f"  checkpoint -> {path}")
+        if gs >= next_eval:
+            stats = evaluate_agent(
+                env, deterministic_policy(network, ts.params),
+                num_episodes=config.eval_episodes,
+                rng=jax.random.PRNGKey(gs))
+            logger.log(gs, {f"eval/{k}": v for k, v in stats.items()})
+            next_eval += config.eval_freq
+            if verbose:
+                print(f"  eval: return {stats['mean_return']:.1f} "
+                      f"± {stats['std_return']:.1f}, "
+                      f"success {stats['success_rate']*100:.1f}%")
+    if verbose:
+        total = time.time() - t_start
+        print(f"Done: {int(ts.global_step)} steps in {total:.1f}s "
+              f"({int(ts.global_step)/total/1e3:.1f}k steps/s)")
+    ckpt_lib.save_checkpoint(log_dir, ts, int(ts.global_step))
+    return ts, env, network
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train Ackermann Robot RL Agent")
+    p.add_argument("--algo", default="random",
+                   choices=["random", "ppo", "sac", "td3"])
+    p.add_argument("--episodes", type=int, default=1000,
+                   help="episodes (for --algo random)")
+    p.add_argument("--timesteps", type=int, default=100000)
+    p.add_argument("--max-velocity", type=float, default=1.0)
+    p.add_argument("--goal-threshold", type=float, default=0.5)
+    p.add_argument("--maze", default=None,
+                   choices=[None, "umaze", "open", "medium", "large"])
+    p.add_argument("--maze-id", default="PointMaze_UMaze-v3")
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--save-freq", type=int, default=10000)
+    p.add_argument("--eval-freq", type=int, default=10000)
+    p.add_argument("--eval-episodes", type=int, default=10)
+    p.add_argument("--num-envs", type=int, default=2048)
+    p.add_argument("--unroll", type=int, default=32)
+    p.add_argument("--minibatches", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log-dir", default="rl_logs")
+    args = p.parse_args(argv)
+
+    config = RLConfig(
+        env_type="maze" if args.maze else "simple",
+        maze_id=args.maze or args.maze_id,
+        max_linear_velocity=args.max_velocity,
+        goal_distance_threshold=args.goal_threshold,
+        total_timesteps=args.timesteps,
+        learning_rate=args.learning_rate or 3e-4,
+        save_freq=args.save_freq, eval_freq=args.eval_freq,
+        eval_episodes=args.eval_episodes,
+        num_envs=args.num_envs, unroll_length=args.unroll,
+        num_minibatches=args.minibatches, seed=args.seed,
+        log_dir=args.log_dir)
+
+    print("=" * 60)
+    print("Ackermann Robot RL Training (TPU)")
+    print("=" * 60)
+    print(f"devices: {jax.devices()}")
+    print(f"env: {config.env_type} ({config.maze_id if config.env_type == 'maze' else 'open floor'})")
+    print(f"obs (79,), act (2,), num_envs {config.num_envs}")
+    print("=" * 60)
+
+    if args.algo == "random":
+        env = build_env(config)
+        run_random_baseline(env, episodes=args.episodes, seed=args.seed)
+    elif args.algo == "ppo":
+        ts, env, network = train_ppo(config)
+        stats = evaluate_agent(env, deterministic_policy(network, ts.params),
+                               num_episodes=args.eval_episodes)
+        print("\nEvaluation Results:")
+        print(f"  Mean Return: {stats['mean_return']:.2f} "
+              f"± {stats['std_return']:.2f}")
+        print(f"  Mean Episode Length: {stats['mean_length']:.1f}")
+        print(f"  Success Rate: {stats['success_rate']*100:.1f}%")
+    else:
+        raise SystemExit(
+            f"--algo {args.algo}: off-policy learners land in a later "
+            f"release; use random or ppo")
+
+
+if __name__ == "__main__":
+    main()
