@@ -68,6 +68,11 @@ class EnvConfig:
     cell_noise: float = 0.25                  # maze start/goal xy noise
     reference_lidar_aliasing: bool = False
     collision_ignores_nohit: bool = False
+    # The reference reads sensordata/xpos after mj_step without mj_forward,
+    # so its obs/reward reflect the *pre-integration* state (one physics step
+    # stale; ackermann_env.py:200-213 — and rendering mode accidentally
+    # changes this by calling mj_forward, l.205).  True reproduces that.
+    reference_delayed_obs: bool = False
     physics_substeps: int = 1                 # reference: 1 (500 Hz control)
 
 
@@ -193,7 +198,8 @@ class AckermannEnv:
         for _ in range(cfg.physics_substeps):
             physics = engine.step(self.model, physics)
 
-        obs, metrics = self._observe(physics, state.odom_ref, state.goal)
+        obs_src = state.physics if cfg.reference_delayed_obs else physics
+        obs, metrics = self._observe(obs_src, state.odom_ref, state.goal)
         goal_distance = metrics["goal_distance"]
         collision = metrics["collision"]
 
@@ -249,7 +255,8 @@ class AckermannEnv:
         for _ in range(cfg.physics_substeps):
             physics = engine.step_batch(self.model, physics)
 
-        obs, metrics = jax.vmap(self._observe)(physics, states.odom_ref,
+        obs_src = states.physics if cfg.reference_delayed_obs else physics
+        obs, metrics = jax.vmap(self._observe)(obs_src, states.odom_ref,
                                                states.goal)
         goal_distance = metrics["goal_distance"]
         collision = metrics["collision"]
