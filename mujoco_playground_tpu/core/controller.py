@@ -19,8 +19,10 @@ import jax.numpy as jnp
 WHEEL_RADIUS = 0.0325
 WHEELBASE = 0.20
 TRACK_WIDTH = 0.174
+import math
+
 STEER_CLIP = 0.61          # actuator ctrlrange (ackermann_robot_v2.xml:116)
-STEER_ANGLE_LIMIT = jnp.deg2rad(35.0)
+STEER_ANGLE_LIMIT = math.radians(35.0)  # plain float: no backend init at import
 WHEEL_SPEED_CLIP = 50.0
 
 

@@ -188,18 +188,20 @@ class AckermannEnv:
             collision=metrics["collision"], min_lidar=metrics["min_lidar"])
 
     # ------------------------------------------------------------------- step
-    def step(self, state: EnvState, action) -> EnvState:
+    def step(self, state: EnvState, action, model=None) -> EnvState:
         cfg = self.config
+        model = self.model if model is None else model
         action = jnp.clip(jnp.asarray(action, self.dtype), -1.0, 1.0)
         linear_x = action[0] * cfg.max_linear_velocity
         angular_z = action[1] * cfg.max_angular_velocity
         ctrl = bicycle_cmd_vel_to_controls(linear_x, angular_z)
         physics = state.physics.replace(ctrl=ctrl)
         for _ in range(cfg.physics_substeps):
-            physics = engine.step(self.model, physics)
+            physics = engine.step(model, physics)
 
         obs_src = state.physics if cfg.reference_delayed_obs else physics
-        obs, metrics = self._observe(obs_src, state.odom_ref, state.goal)
+        obs, metrics = self._observe(obs_src, state.odom_ref, state.goal,
+                                     model=model)
         goal_distance = metrics["goal_distance"]
         collision = metrics["collision"]
 
@@ -294,9 +296,10 @@ class AckermannEnv:
             min_lidar=st.min_lidar)
 
     # ------------------------------------------------------------------- obs
-    def _observe(self, physics: State, ref: OdometryRef, goal):
+    def _observe(self, physics: State, ref: OdometryRef, goal, model=None):
         cfg = self.config
-        lidar = sensors.lidar_scan(self.model, physics)
+        model = self.model if model is None else model
+        lidar = sensors.lidar_scan(model, physics)
         if cfg.reference_lidar_aliasing:
             # Reproduce the reference's name-lookup bug: obs slots 0-9 read
             # beam 71's sensor address (see module docstring).

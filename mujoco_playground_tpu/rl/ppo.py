@@ -55,14 +55,22 @@ def make_optimizer(config: RLConfig):
     )
 
 
-def init_train_state(env, network, config: RLConfig, rng) -> TrainState:
-    rng, k_params, k_reset = jax.random.split(rng, 3)
+def init_train_state(env, network, config: RLConfig, rng,
+                     stagger_resets: bool = True) -> TrainState:
+    rng, k_params, k_reset, k_stag = jax.random.split(rng, 4)
     obs0 = jnp.zeros((env.obs_size,), jnp.float32)
     params = network.init(k_params, obs0)
     tx = make_optimizer(config)
     opt_state = tx.init(params)
     env_states = jax.vmap(env.reset)(
         jax.random.split(k_reset, config.num_envs))
+    if stagger_resets:
+        # Desynchronize episode boundaries: a freshly-reset batch would
+        # otherwise truncate all envs on the same step forever, leaving most
+        # rollouts without any episode boundary.
+        env_states = env_states.replace(steps=jax.random.randint(
+            k_stag, (config.num_envs,), 0, env.config.max_episode_steps,
+            dtype=env_states.steps.dtype))
     return TrainState(params=params, opt_state=opt_state,
                       env_states=env_states, rng=rng,
                       global_step=jnp.zeros((), jnp.int64)
@@ -89,8 +97,24 @@ def gae(rewards, values, final_values, terminated, done, gamma, lam):
     return advs
 
 
+def make_train_fns(env, network, config: RLConfig):
+    """Returns (rollout_fn, update_fn) as two separate jittable programs.
+
+    Compiling rollout and update separately keeps each XLA program small —
+    the fully-fused variant (make_train_step) is a single giant graph whose
+    compile time dominates short runs; two dispatches per iteration cost
+    nothing at these batch sizes.
+    """
+    step = make_train_step(env, network, config)
+    return step.rollout_gae, step.update
+
+
 def make_train_step(env, network, config: RLConfig) -> Callable:
-    """Returns the fused jittable train_step(ts) -> (ts, metrics)."""
+    """Returns the fused jittable train_step(ts) -> (ts, metrics).
+
+    The callable also exposes ``.rollout_gae`` and ``.update`` for split
+    compilation (see make_train_fns).
+    """
     tx = make_optimizer(config)
     T = config.unroll_length
     B = config.num_envs
@@ -168,25 +192,36 @@ def make_train_step(env, network, config: RLConfig) -> Callable:
             minibatch_step, (params, opt_state), idxs)
         return (params, opt_state, flat_batch, advs, rets), auxs
 
-    def train_step(ts: TrainState):
+    def rollout_gae(ts: TrainState):
+        """Phase 1: collect T x B transitions + advantages/returns."""
         rng, k_roll, k_update = jax.random.split(ts.rng, 3)
         env_states, trs, roll_metrics = rollout(ts.params, ts.env_states,
                                                 k_roll)
         advs = gae(trs.reward, trs.value, trs.final_value, trs.terminated,
                    trs.done, config.gamma, config.gae_lambda)
         rets = advs + trs.value
-
         flatten = lambda x: x.reshape((T * B,) + x.shape[2:])
         flat_batch = jax.tree.map(flatten, trs)
-        carry = (ts.params, ts.opt_state, flat_batch, flatten(advs),
-                 flatten(rets))
+        ts = ts.replace(env_states=env_states, rng=rng)
+        return ts, (flat_batch, flatten(advs), flatten(rets), k_update), \
+            roll_metrics
+
+    def update(ts: TrainState, batch_data):
+        """Phase 2: PPO epochs x minibatches."""
+        flat_batch, advs, rets, k_update = batch_data
+        carry = (ts.params, ts.opt_state, flat_batch, advs, rets)
         carry, auxs = jax.lax.scan(
             update_epoch, carry, jax.random.split(k_update, config.ppo_epochs))
         params, opt_state = carry[0], carry[1]
-        metrics = {**roll_metrics,
-                   **jax.tree.map(lambda x: x.mean(), auxs)}
-        return TrainState(
-            params=params, opt_state=opt_state, env_states=env_states,
-            rng=rng, global_step=ts.global_step + T * B), metrics
+        metrics = jax.tree.map(lambda x: x.mean(), auxs)
+        return ts.replace(params=params, opt_state=opt_state,
+                          global_step=ts.global_step + T * B), metrics
 
+    def train_step(ts: TrainState):
+        ts, batch_data, roll_metrics = rollout_gae(ts)
+        ts, upd_metrics = update(ts, batch_data)
+        return ts, {**roll_metrics, **upd_metrics}
+
+    train_step.rollout_gae = rollout_gae
+    train_step.update = update
     return train_step

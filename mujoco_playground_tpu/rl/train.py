@@ -57,8 +57,17 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True):
             if verbose:
                 print(f"Resumed from {latest}")
 
-    train_step = jax.jit(ppo.make_train_step(env, network, config),
-                         donate_argnums=(0,))
+    # Split compilation: rollout and update as separate XLA programs (much
+    # faster first compile than the fully-fused step; same math).
+    rollout_fn, update_fn = ppo.make_train_fns(env, network, config)
+    rollout_j = jax.jit(rollout_fn)
+    update_j = jax.jit(update_fn)
+
+    def train_step(ts):
+        ts, batch_data, roll_metrics = rollout_j(ts)
+        ts, upd_metrics = update_j(ts, batch_data)
+        return ts, {**roll_metrics, **upd_metrics}
+
     steps_per_iter = config.num_envs * config.unroll_length
     next_save = config.save_freq
     next_eval = config.eval_freq
@@ -102,6 +111,48 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True):
               f"({int(ts.global_step)/total/1e3:.1f}k steps/s)")
     ckpt_lib.save_checkpoint(log_dir, ts, int(ts.global_step))
     return ts, env, network
+
+
+def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
+                     eval_episodes: int = 10, verbose: bool = True):
+    """SAC/TD3 training loop (reference --algo sac/td3, train.py:108-121)."""
+    import dataclasses as _dc
+
+    from mujoco_playground_tpu.rl import sac as sac_lib
+    from mujoco_playground_tpu.rl import td3 as td3_lib
+
+    config = _dc.replace(config, num_envs=min(config.num_envs, 256))
+    env = build_env(config)
+    mod = sac_lib if algo == "sac" else td3_lib
+    init, make_step = (mod.make_sac(env, config) if algo == "sac"
+                       else mod.make_td3(env, config))
+    state = init(jax.random.PRNGKey(config.seed))
+    warmup_step = jax.jit(make_step(random_actions=True))
+    train_step = jax.jit(make_step(random_actions=False))
+    logger = MetricsLogger(os.path.join(config.log_dir, algo))
+
+    t0 = time.time()
+    while int(state.global_step) < total_timesteps:
+        step_fn = (warmup_step
+                   if int(state.global_step) < config.sac_learning_starts
+                   else train_step)
+        state, metrics = step_fn(state)
+        gs = int(state.global_step)
+        if gs % 4096 < config.num_envs * 4:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["steps_per_second"] = gs / max(time.time() - t0, 1e-9)
+            logger.log(gs, metrics)
+            if verbose:
+                print(f"[{algo}] step {gs:>9d} | "
+                      f"reward/step {metrics['mean_reward']:+8.3f} | "
+                      f"{metrics['steps_per_second']/1e3:7.1f}k sps")
+    stats = evaluate_agent(env, mod.deterministic_policy(env, state),
+                           num_episodes=eval_episodes)
+    if verbose:
+        print(f"[{algo}] eval: return {stats['mean_return']:.1f} "
+              f"± {stats['std_return']:.1f}, "
+              f"success {stats['success_rate']*100:.1f}%")
+    return state, stats
 
 
 def main(argv=None):
@@ -152,6 +203,9 @@ def main(argv=None):
     if args.algo == "random":
         env = build_env(config)
         run_random_baseline(env, episodes=args.episodes, seed=args.seed)
+    elif args.algo in ("sac", "td3"):
+        train_off_policy(config, args.algo, args.timesteps,
+                         eval_episodes=args.eval_episodes)
     elif args.algo == "ppo":
         ts, env, network = train_ppo(config)
         stats = evaluate_agent(env, deterministic_policy(network, ts.params),
@@ -162,9 +216,7 @@ def main(argv=None):
         print(f"  Mean Episode Length: {stats['mean_length']:.1f}")
         print(f"  Success Rate: {stats['success_rate']*100:.1f}%")
     else:
-        raise SystemExit(
-            f"--algo {args.algo}: off-policy learners land in a later "
-            f"release; use random or ppo")
+        raise SystemExit(f"unknown --algo {args.algo}")
 
 
 if __name__ == "__main__":
