@@ -142,6 +142,31 @@ def test_reference_lidar_aliasing_flag():
     np.testing.assert_array_equal(obs[0:10], np.full(10, obs[71]))
 
 
+def test_open_floor_reproduces_reference_learning_dynamics():
+    """The reference's published PPO returns collapse to ~-47k/episode on
+    the open floor because every no-hit lidar beam (-1) triggers the -50
+    collision penalty each step (BASELINE.md interpretation + PARITY.md).
+    Our faithful default reproduces that reward structure."""
+    env = AckermannEnv(config=EnvConfig(max_episode_steps=200))
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    total = 0.0
+    rng = np.random.RandomState(1)
+    for _ in range(200):
+        state = step(state, jnp.asarray(rng.uniform(-1, 1, 2)))
+        total += float(state.reward)
+    per_step = total / 200.0
+    # -50 collision - 0.01 - 0.1*goal_dist (2..8m) every step
+    assert -52.0 < per_step < -49.0
+    assert bool(state.truncated)
+    # the sane variant turns the artifact off
+    env2 = AckermannEnv(config=EnvConfig(max_episode_steps=200,
+                                         collision_ignores_nohit=True))
+    s2 = env2.reset(jax.random.PRNGKey(0))
+    s2 = jax.jit(env2.step)(s2, jnp.asarray([0.3, 0.0]))
+    assert float(s2.reward) > -2.0
+
+
 def test_autoreset_starts_new_episode():
     env = AckermannEnv(config=EnvConfig(max_episode_steps=5))
     state = env.reset(jax.random.PRNGKey(0))
