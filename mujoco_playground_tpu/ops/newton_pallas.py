@@ -195,23 +195,34 @@ def _newton_kernel(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
 def newton_solve_pallas(Mt, a_s, G, j_aref, j_R, j_floss, j_active, j_kind,
                         Jn, Jt1, Jt2, c_aref, c_R, c_mu, c_active,
                         iterations: int, ls_iterations: int,
-                        block_b: int = BLOCK_B, interpret: bool = False):
-    """Batch-last Newton solve. Row-major inputs as produced by
-    solver_batched._transpose_efc; B % block_b == 0. Returns qacc (nv, B)."""
+                        block_b: int = BLOCK_B, interpret: bool = False,
+                        pre_transposed: bool = False):
+    """Batch-last Newton solve; B % block_b == 0. Returns qacc (nv, B).
+
+    Inputs either row-major (G (nj,nv,B), Jn (nc,nv,B), c_aref (nc,4,B) — as
+    produced by solver_batched._transpose_efc) or, with
+    ``pre_transposed=True``, already in kernel layout (Gt (nv,nj,B),
+    Jnt (nv,nc,B), c_aref (4,nc,B) — as produced by constraint_bl).
+    """
     nv, B = a_s.shape
-    nj = G.shape[0]
-    nc = Jn.shape[0]
     from mujoco_playground_tpu.physics.constraint import EQ, FRICTION
     kind = np.asarray(j_kind)
     is_eq = tuple(bool(k == EQ) for k in kind)
     is_fric = tuple(bool(k == FRICTION) for k in kind)
 
-    # Re-layout so kernel slices are along the leading dim.
-    Gt = jnp.moveaxis(G, 0, 1)          # (nv, nj, B)
-    Jnt = jnp.moveaxis(Jn, 0, 1)        # (nv, nc, B)
-    Jt1t = jnp.moveaxis(Jt1, 0, 1)
-    Jt2t = jnp.moveaxis(Jt2, 0, 1)
-    c_aref4 = jnp.moveaxis(c_aref, 1, 0)  # (4, nc, B)
+    if pre_transposed:
+        Gt, Jnt, Jt1t, Jt2t, c_aref4 = G, Jn, Jt1, Jt2, c_aref
+        nj = Gt.shape[1]
+        nc = Jnt.shape[1]
+    else:
+        nj = G.shape[0]
+        nc = Jn.shape[0]
+        # Re-layout so kernel slices are along the leading dim.
+        Gt = jnp.moveaxis(G, 0, 1)          # (nv, nj, B)
+        Jnt = jnp.moveaxis(Jn, 0, 1)        # (nv, nc, B)
+        Jt1t = jnp.moveaxis(Jt1, 0, 1)
+        Jt2t = jnp.moveaxis(Jt2, 0, 1)
+        c_aref4 = jnp.moveaxis(c_aref, 1, 0)  # (4, nc, B)
 
     kernel = functools.partial(
         _newton_kernel, nv, nj, nc, iterations, ls_iterations, is_eq, is_fric)

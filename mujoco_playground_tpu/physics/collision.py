@@ -45,7 +45,8 @@ class Contacts:
     solref: Any       # (C, 2)
     solimp: Any       # (C, 5)
     diag_approx: Any  # (C,) trn invweight sum of the two bodies
-    body: Any         # (C,) static robot body index of the moving geom
+    # static (numpy) slot -> robot body index of the moving geom
+    body: Any = struct.field(pytree_node=False)
 
 
 def _make_frame(n):
@@ -187,7 +188,7 @@ def collide(model: Model, xpos, xquat) -> Contacts:
         dist=jnp.stack(dist_l), friction=jnp.stack(fric_l),
         solref=jnp.stack(solref_l), solimp=jnp.stack(solimp_l),
         diag_approx=jnp.stack(diag_l),
-        body=jnp.asarray(body_l, jnp.int32))
+        body=np.asarray(body_l, np.int32))
 
 
 def _sphere_box(c, r, bp, bs, dtype):

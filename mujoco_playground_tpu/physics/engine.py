@@ -82,57 +82,62 @@ def _integrate_pos(model: Model, qpos, qvel, h):
     return jnp.concatenate(out)
 
 
-def forward_batch(model: Model, states: State):
-    """Batched forward dynamics: vmapped assembly + batch-last Newton solve.
-
-    ``states`` leaves carry a leading env axis.  The cheap assembly stages
-    (FK, CRBA, bias, collision, efc) run under vmap; the Newton solve — the
-    hot loop — runs in solver_batched with the env axis in TPU lanes.
-    """
-    def pre(state):
-        qpos, qvel, ctrl = state.qpos, state.qvel, state.ctrl
-        mask = jnp.asarray(kinematics.ancestor_mask(model), qpos.dtype)
-        xpos, xquat = state.xpos, state.xquat
-        M, S, anchor = inertia.crba(model, xpos, xquat, mask)
-        bias = inertia.bias_force(model, xpos, xquat, qvel, S, mask, anchor)
-        qfrc_smooth = (actuator_force(model, qpos, qvel, ctrl)
-                       - model.dof_damping * qvel - bias)
-        contacts = collision.collide(model, xpos, xquat)
-        efc = constraint.make_efc(model, qpos, qvel, S, mask, anchor,
-                                  contacts)
-        return M, qfrc_smooth, efc
-
-    from mujoco_playground_tpu.physics import solver_batched
-    M, qfrc_smooth, efc = jax.vmap(pre)(states)
-    Mt = jnp.moveaxis(M, 0, -1)
-    qacc_smooth = linalg_small.cho_solve_bl(
-        linalg_small.cholesky_bl(Mt), qfrc_smooth.T).T
-    qacc, forces = solver_batched.solve_batched(model, M, qacc_smooth, efc)
-    return qacc, M
-
-
 def step_batch(model: Model, states: State) -> State:
-    """Batched physics step (the TPU fast path; semantics == vmap(step))."""
+    """Batched physics step — the TPU fast path (semantics == vmap(step)).
+
+    Smooth dynamics (CRBA/RNEA/actuation/integration) run batch-last via
+    :mod:`batchlast` (env axis in TPU lanes), the Newton constraint solve as
+    a fused Pallas kernel, and only the cheap collision/efc assembly stays
+    per-env under vmap.
+    """
+    from mujoco_playground_tpu.physics import batchlast, solver_batched
+
     h = model.timestep
-    qacc, M = forward_batch(model, states)
+    qpos_bl = states.qpos.T                              # (nq, B)
+    qvel_bl = states.qvel.T
+    ctrl_bl = states.ctrl.T
+    # body frames from the cached state (kept in sync by make_state/step)
+    xpos_l = [states.xpos[:, b].T for b in range(model.nbody)]
+    xquat_l = [states.xquat[:, b].T for b in range(model.nbody)]
 
-    # Batch-last implicit-damping solve: (M + hD) v' = Mv + hDv + hMa.
-    Mt = jnp.moveaxis(M, 0, -1)                          # (nv, nv, B)
-    v = states.qvel.T                                    # (nv, B)
+    M_bl, bias_bl, S_bl, anchor_bl = batchlast.crba_bias_bl(
+        model, xpos_l, xquat_l, qvel_bl, np.asarray(model.gravity))
+    qfrc_smooth_bl = (batchlast.actuator_force_bl(model, qpos_bl, qvel_bl,
+                                                  ctrl_bl)
+                      - model.dof_damping[:, None] * qvel_bl - bias_bl)
+    qacc_smooth = linalg_small.cho_solve_bl(
+        linalg_small.cholesky_bl(M_bl), qfrc_smooth_bl).T   # (B, nv)
+
+    # Per-env collision + efc assembly (XLA fuses these tiny-tensor chains
+    # well; a fully batch-last efc assembly — constraint_bl — measured
+    # slightly slower end-to-end), then the fused Pallas Newton solve.
+    mask = jnp.asarray(kinematics.ancestor_mask(model), qpos_bl.dtype)
+    S_env = jnp.moveaxis(S_bl, -1, 0)                    # (B, nv, 6)
+    anchor_env = anchor_bl.T                             # (B, 3)
+
+    def assemble(state, S, anchor):
+        contacts = collision.collide(model, state.xpos, state.xquat)
+        return constraint.make_efc(model, state.qpos, state.qvel, S, mask,
+                                   anchor, contacts)
+
+    efc = jax.vmap(assemble)(states, S_env, anchor_env)
+    M_env = jnp.moveaxis(M_bl, -1, 0)                    # (B, nv, nv)
+    qacc, _forces = solver_batched.solve_batched(model, M_env, qacc_smooth,
+                                                 efc)
+
+    # Batch-last implicit-damping integration: (M + hD) v' = Mv + hDv + hMa.
     a = qacc.T
-    rhs = (jnp.sum(Mt * (v + h * a)[None, :, :], axis=1)
-           + h * model.dof_damping[:, None] * v)
-    MhDt = Mt + h * jnp.diag(model.dof_damping)[:, :, None]
-    qvel_new = linalg_small.cho_solve_bl(
-        linalg_small.cholesky_bl(MhDt), rhs).T           # (B, nv)
-
-    def integrate(state, qvel_i):
-        qpos_new = _integrate_pos(model, state.qpos, qvel_i, h)
-        xpos, xquat = kinematics.fk(model, qpos_new)
-        return state.replace(qpos=qpos_new, qvel=qvel_i,
-                             time=state.time + h, xpos=xpos, xquat=xquat)
-
-    return jax.vmap(integrate)(states, qvel_new)
+    rhs = (jnp.sum(M_bl * (qvel_bl + h * a)[None, :, :], axis=1)
+           + h * model.dof_damping[:, None] * qvel_bl)
+    MhDt = M_bl + h * jnp.diag(model.dof_damping)[:, :, None]
+    qvel_new_bl = linalg_small.cho_solve_bl(
+        linalg_small.cholesky_bl(MhDt), rhs)             # (nv, B)
+    qpos_new_bl = batchlast.integrate_pos_bl(model, qpos_bl, qvel_new_bl, h)
+    xpos_l, xquat_l = batchlast.fk_bl(model, qpos_new_bl)
+    xpos = jnp.stack([x.T for x in xpos_l], axis=1)      # (B, nbody, 3)
+    xquat = jnp.stack([x.T for x in xquat_l], axis=1)
+    return states.replace(qpos=qpos_new_bl.T, qvel=qvel_new_bl.T,
+                          time=states.time + h, xpos=xpos, xquat=xquat)
 
 
 def step(model: Model, state: State) -> State:
