@@ -206,7 +206,11 @@ def _spatial_inertia_bl(model: Model, b, xpos_b, xquat_b, anchor):
 
 
 def crba_bias_bl(model: Model, xpos, xquat, qvel_bl, gravity):
-    """Batch-last CRBA + RNEA: returns (M (nv,nv,B), qfrc_bias (nv,B), S)."""
+    """Batch-last CRBA + RNEA: returns (M (nv,nv,B), qfrc_bias (nv,B), S).
+
+    Scatter-free: per-body contributions are embedded through the static
+    ancestor mask and summed with einsums (TPU scatters serialize).
+    """
     dtype = qvel_bl.dtype
     B = qvel_bl.shape[-1]
     nv = model.nv
@@ -215,29 +219,24 @@ def crba_bias_bl(model: Model, xpos, xquat, qvel_bl, gravity):
     Sarr = jnp.stack(S)                                    # (nv, 6, B)
     mask = kinematics.ancestor_mask(model)                 # (nbody, nv) np
 
-    Ibars = []
-    for b in range(model.nbody):
-        if float(np.asarray(model.body_mass)[b]) == 0.0 and not np.any(
-                np.asarray(model.body_inertia)[b]):
-            Ibars.append(None)
-            continue
-        Ibars.append(_spatial_inertia_bl(model, b, xpos[b], xquat[b], anchor))
+    # keep only bodies with inertia (fused tree: all but world)
+    bodies = [b for b in range(model.nbody)
+              if float(np.asarray(model.body_mass)[b]) != 0.0
+              or np.any(np.asarray(model.body_inertia)[b])]
+    Ibar = jnp.stack([
+        _spatial_inertia_bl(model, b, xpos[b], xquat[b], anchor)
+        for b in bodies])                                  # (nb, 6, 6, B)
+    mask_c = jnp.asarray(mask[np.asarray(bodies)], dtype)  # (nb, nv)
 
-    # M = sum_b (S*mask_b)^T I_b (S*mask_b)
-    M = jnp.zeros((nv, nv, B), dtype)
-    fbias = jnp.zeros((nv, B), dtype)
+    # J[b, k, v, B] = S[v, k, B] * mask[b, v]
+    Jfull = jnp.einsum('vkB,bv->bkvB', Sarr, mask_c)
+    IJ = jnp.einsum('bklB,blvB->bkvB', Ibar, Jfull)
+    M = jnp.einsum('bkvB,bkwB->vwB', Jfull, IJ)
+    arma = jnp.asarray(np.asarray(model.dof_armature), dtype)
+    M = M + jnp.eye(nv, dtype=dtype)[:, :, None] * arma[:, None, None]
 
-    # body velocities: v_b = sum_{d in anc} S_d qvel_d
-    vbody = []
-    for b in range(model.nbody):
-        dofs = [d for d in range(nv) if mask[b, d]]
-        if not dofs:
-            vbody.append(None)
-            continue
-        v = S[dofs[0]] * qvel_bl[dofs[0]]
-        for d in dofs[1:]:
-            v = v + S[d] * qvel_bl[d]
-        vbody.append(v)
+    # body spatial velocities
+    vbody = jnp.einsum('bkvB,vB->bkB', Jfull, qvel_bl)     # (nb, 6, B)
 
     # velocity-product terms (zero for free-joint translation dofs)
     carried = np.ones(nv, bool)
@@ -245,39 +244,25 @@ def crba_bias_bl(model: Model, xpos, xquat, qvel_bl, gravity):
         if model.jnt_type[j] == JNT_FREE:
             adr = model.jnt_dofadr[j]
             carried[adr:adr + 3] = False
-    cdot = []
+    body_of = {b: i for i, b in enumerate(bodies)}
+    cdot_rows = []
     for d in range(nv):
         if carried[d]:
-            vb = vbody[model.dof_body[d]]
-            cdot.append(_motion_cross_bl(vb, S[d]) * qvel_bl[d])
+            vb = vbody[body_of[model.dof_body[d]]]
+            cdot_rows.append(_motion_cross_bl(vb, S[d]) * qvel_bl[d])
         else:
-            cdot.append(None)
+            cdot_rows.append(jnp.zeros((6, B), dtype))
+    cdot = jnp.stack(cdot_rows)                            # (nv, 6, B)
 
     a0 = jnp.concatenate([jnp.zeros((3, B), dtype),
                           jnp.broadcast_to(
                               -jnp.asarray(gravity, dtype)[:, None], (3, B))])
-
-    for b in range(model.nbody):
-        if Ibars[b] is None:
-            continue
-        dofs = [d for d in range(nv) if mask[b, d]]
-        Jb = Sarr[np.asarray(dofs)]                        # (nd, 6, B)
-        IJ = jnp.einsum('klB,dlB->dkB', Ibars[b], Jb)      # (nd, 6, B)
-        Mb = jnp.einsum('dkB,ekB->deB', Jb, IJ)            # (nd, nd, B)
-        M = M.at[np.ix_(dofs, dofs)].add(Mb)
-        # bias: f_b = I a_b + v x* I v
-        ab = a0
-        for d in dofs:
-            if cdot[d] is not None:
-                ab = ab + cdot[d]
-        fb = (jnp.einsum('klB,lB->kB', Ibars[b], ab)
-              + _force_cross_bl(vbody[b],
-                                jnp.einsum('klB,lB->kB', Ibars[b], vbody[b])))
-        fbias = fbias.at[np.asarray(dofs)].add(
-            jnp.einsum('dkB,kB->dB', Jb, fb))
-
-    arma = jnp.asarray(np.asarray(model.dof_armature), dtype)
-    M = M.at[np.arange(nv), np.arange(nv)].add(arma[:, None])
+    abody = a0[None] + jnp.einsum('bv,vkB->bkB', mask_c, cdot)
+    Iv = jnp.einsum('bklB,blB->bkB', Ibar, vbody)
+    Ia = jnp.einsum('bklB,blB->bkB', Ibar, abody)
+    fbody = Ia + jnp.stack([
+        _force_cross_bl(vbody[i], Iv[i]) for i in range(len(bodies))])
+    fbias = jnp.einsum('bkvB,bkB->vB', Jfull, fbody)
     return M, fbias, Sarr, anchor
 
 

@@ -207,7 +207,7 @@ def main(argv=None):
         train_off_policy(config, args.algo, args.timesteps,
                          eval_episodes=args.eval_episodes)
     elif args.algo == "ppo":
-        ts, env, network = train_ppo(config)
+        ts, env, network = train_ppo(config, resume=args.resume)
         stats = evaluate_agent(env, deterministic_policy(network, ts.params),
                                num_episodes=args.eval_episodes)
         print("\nEvaluation Results:")
