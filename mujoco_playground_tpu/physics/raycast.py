@@ -41,12 +41,21 @@ def raycast_scene(model: Model, origins, dirs):
         lo = model.scene_box_pos - model.scene_box_size    # (K, 3)
         hi = model.scene_box_pos + model.scene_box_size
         o = origins[:, None, :]                            # (R, 1, 3)
-        inv = 1.0 / jnp.where(jnp.abs(dirs) > 1e-12, dirs, 1e-12)[:, None, :]
+        eps = 1e-9
+        parallel = jnp.abs(dirs)[:, None, :] <= eps        # (R, 1, 3)
+        inv = 1.0 / jnp.where(jnp.abs(dirs) > eps, dirs, eps)[:, None, :]
         t1 = (lo[None] - o) * inv
         t2 = (hi[None] - o) * inv
-        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)       # (R, K)
-        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        hit = (tmax >= tmin) & (tmax > 0)
+        tmin = jnp.max(jnp.where(parallel, -BIG, jnp.minimum(t1, t2)),
+                       axis=-1)                            # (R, K)
+        tmax = jnp.min(jnp.where(parallel, BIG, jnp.maximum(t1, t2)),
+                       axis=-1)
+        # For axes the ray is parallel to, the origin must be strictly inside
+        # the slab (MuJoCo semantics: a ray sliding tangentially along a box
+        # face does not hit it).
+        inside_par = jnp.all((~parallel) | ((o > lo[None]) & (o < hi[None])),
+                             axis=-1)                      # (R, K)
+        hit = (tmax >= tmin) & (tmax > 0) & inside_par
         t_box = jnp.where(hit, jnp.where(tmin > 0, tmin, tmax), BIG)
         t_boxes = jnp.min(t_box, axis=-1)
     else:
