@@ -180,6 +180,18 @@ def _fuse_welded(spec: st.ModelSpec):
             iq = np.asarray(st.quat_mul_np(tuple(hquat), tuple(b.inertial.quat)))
             entry["inertials"].append((b.inertial.mass, ip, iq,
                                        np.asarray(b.inertial.diaginertia)))
+        else:
+            # No explicit inertial: derive from primitive geoms that carry a
+            # mass (MuJoCo's inertiafromgeom behavior for the supported
+            # primitives).
+            for g in b.geoms:
+                gi = _geom_inertial(g)
+                if gi is None:
+                    continue
+                gm, gpos, gquat, gdiag = gi
+                ip = hpos + R @ gpos
+                iq = np.asarray(st.quat_mul_np(tuple(hquat), tuple(gquat)))
+                entry["inertials"].append((gm, ip, iq, gdiag))
         for g in b.geoms:
             gp = hpos + R @ np.asarray(g.pos)
             gq = np.asarray(st.quat_mul_np(tuple(hquat), tuple(g.quat)))
@@ -198,6 +210,34 @@ def _fuse_welded(spec: st.ModelSpec):
         else:
             fused[name]["parent"] = "world"
     return order, fused
+
+
+def _geom_inertial(g: st.GeomSpec):
+    """Analytic inertia of a primitive geom with explicit mass, in the geom
+    frame: returns (mass, pos, quat, diaginertia) or None."""
+    if g.mass is None:
+        return None
+    m = float(g.mass)
+    s = g.size
+    if g.type == st.SPHERE:
+        r = s[0]
+        diag = np.full(3, 0.4 * m * r * r)
+    elif g.type == st.BOX:
+        hx, hy, hz = s[:3]
+        diag = m / 3.0 * np.array([hy * hy + hz * hz, hx * hx + hz * hz,
+                                   hx * hx + hy * hy])
+    elif g.type == st.CYLINDER:
+        r, h = s[0], s[1]      # radius, half-height
+        ixx = m * (3 * r * r + 4 * h * h) / 12.0
+        diag = np.array([ixx, ixx, 0.5 * m * r * r])
+    elif g.type == st.CAPSULE:
+        # approximate as cylinder (adequate for mass bookkeeping)
+        r, h = s[0], s[1]
+        ixx = m * (3 * r * r + 4 * h * h) / 12.0
+        diag = np.array([ixx, ixx, 0.5 * m * r * r])
+    else:
+        return None
+    return m, np.asarray(g.pos), np.asarray(g.quat), diag
 
 
 def _combine_inertials(inertials):
@@ -443,9 +483,13 @@ def make_model(spec: st.ModelSpec,
         qpos0=arr(qpos0),
         site_pos=arr(np.stack(site_pos)) if site_pos else arr(np.zeros((0, 3))),
         site_quat=arr(np.stack(site_quat)) if site_quat else arr(np.zeros((0, 4))),
-        actuator_gain=arr(act_gain), actuator_bias=arr(np.stack(act_bias)),
-        actuator_ctrlrange=arr(np.stack(act_ctrl)),
-        actuator_forcerange=arr(np.stack(act_force)),
+        actuator_gain=arr(act_gain),
+        actuator_bias=arr(np.stack(act_bias) if act_bias
+                          else np.zeros((0, 3))),
+        actuator_ctrlrange=arr(np.stack(act_ctrl) if act_ctrl
+                               else np.zeros((0, 2))),
+        actuator_forcerange=arr(np.stack(act_force) if act_force
+                                else np.zeros((0, 2))),
         eq_polycoef=arr(np.stack(eq_poly)) if eq_poly else arr(np.zeros((0, 5))),
         eq_solref=arr(np.stack(eq_solref)) if eq_poly else arr(np.zeros((0, 2))),
         eq_solimp=arr(np.stack(eq_solimp)) if eq_poly else arr(np.zeros((0, 5))),
