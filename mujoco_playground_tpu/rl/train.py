@@ -42,7 +42,8 @@ def build_env(config: RLConfig):
         max_episode_steps=config.max_episode_steps)
 
 
-def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True):
+def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
+              profile_dir: str = None):
     env = build_env(config)
     network = ActorCritic(action_size=env.action_size)
     rng = jax.random.PRNGKey(config.seed)
@@ -72,14 +73,39 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True):
     next_save = config.save_freq
     next_eval = config.eval_freq
 
+    if profile_dir:
+        # warm up (compile), then trace one full train step
+        ts, _ = train_step(ts)
+        jax.block_until_ready(ts.params)
+        from mujoco_playground_tpu.utils.profiler import trace_context
+        with trace_context(profile_dir):
+            ts, _ = train_step(ts)
+            jax.block_until_ready(ts.params)
+        if verbose:
+            print(f"profiler trace written to {profile_dir}")
+
     t_start = time.time()
+    last_good = None
     while int(ts.global_step) < config.total_timesteps:
         t0 = time.time()
+        prev = ts
         ts, metrics = train_step(ts)
         jax.block_until_ready(ts.params)
         dt = time.time() - t0
         gs = int(ts.global_step)
         metrics = {k: float(v) for k, v in metrics.items()}
+        # Failure detection (absent in the reference, SURVEY.md §5): if an
+        # update produced non-finite losses, drop it and continue from the
+        # pre-update state with a fresh RNG stream.
+        if not all(np.isfinite(v) for v in metrics.values()):
+            print(f"step {gs}: non-finite metrics {metrics}; "
+                  f"dropping update and continuing")
+            rng, sub = jax.random.split(prev.rng)
+            ts = prev.replace(rng=sub,
+                              global_step=prev.global_step
+                              + config.num_envs * config.unroll_length)
+            continue
+        last_good = ts
         metrics["steps_per_second"] = steps_per_iter / dt
         metrics["global_step"] = gs
         logger.log(gs, metrics)
@@ -127,6 +153,9 @@ def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
     init, make_step = (mod.make_sac(env, config) if algo == "sac"
                        else mod.make_td3(env, config))
     state = init(jax.random.PRNGKey(config.seed))
+    # NOTE: buffer donation (donate_argnums) would avoid copying the replay
+    # arrays per insert, but donation hangs the axon TPU tunnel on this rig;
+    # XLA still reuses buffers well enough without it.
     warmup_step = jax.jit(make_step(random_actions=True))
     train_step = jax.jit(make_step(random_actions=False))
     logger = MetricsLogger(os.path.join(config.log_dir, algo))
@@ -177,6 +206,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log-dir", default="rl_logs")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of one train step "
+                        "into DIR (view with xprof/TensorBoard)")
     args = p.parse_args(argv)
 
     config = RLConfig(
@@ -207,7 +239,8 @@ def main(argv=None):
         train_off_policy(config, args.algo, args.timesteps,
                          eval_episodes=args.eval_episodes)
     elif args.algo == "ppo":
-        ts, env, network = train_ppo(config, resume=args.resume)
+        ts, env, network = train_ppo(config, resume=args.resume,
+                                     profile_dir=args.profile)
         stats = evaluate_agent(env, deterministic_policy(network, ts.params),
                                num_episodes=args.eval_episodes)
         print("\nEvaluation Results:")
