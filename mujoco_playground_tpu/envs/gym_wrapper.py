@@ -127,3 +127,47 @@ class GymAckermannEnv(_BASE):
         if self._viewer is not None:
             self._viewer.close()
             self._viewer = None
+
+
+class GymVectorAckermannEnv:
+    """Gymnasium-style vector env over the batched TPU fast path.
+
+    Auto-resets like Gymnasium's vector API: when an episode ends, the
+    returned observation is the next episode's first observation and the
+    terminal observation is provided in ``info["final_observation"]``.
+    """
+
+    def __init__(self, num_envs: int, env: Optional[AckermannEnv] = None,
+                 maze_id: Optional[str] = None,
+                 config: EnvConfig = EnvConfig(), seed: int = 0):
+        self.env = env or AckermannEnv(maze_id=maze_id, config=config)
+        self.num_envs = num_envs
+        self.single_observation_space = (spaces.Box(
+            low=-np.inf, high=np.inf, shape=(self.env.obs_size,),
+            dtype=np.float32) if spaces is not None else None)
+        self.single_action_space = (spaces.Box(
+            low=-1.0, high=1.0, shape=(self.env.action_size,),
+            dtype=np.float32) if spaces is not None else None)
+        self._reset_jit = jax.jit(jax.vmap(self.env.reset))
+        self._step_jit = jax.jit(self.env.step_autoreset_batch)
+        self._seed = seed
+        self._states = None
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        if seed is not None:
+            self._seed = seed
+        keys = jax.random.split(jax.random.PRNGKey(self._seed),
+                                self.num_envs)
+        self._states = self._reset_jit(keys)
+        return np.asarray(self._states.obs, np.float32), {}
+
+    def step(self, actions):
+        self._states = self._step_jit(self._states, jnp.asarray(actions))
+        s = self._states
+        info = {
+            "final_observation": np.asarray(s.final_obs, np.float32),
+            "goal_distance": np.asarray(s.goal_distance),
+            "collision": np.asarray(s.collision),
+        }
+        return (np.asarray(s.obs, np.float32), np.asarray(s.reward),
+                np.asarray(s.terminated), np.asarray(s.truncated), info)

@@ -68,3 +68,22 @@ def test_cmd_vel_bus():
     bus.publish(msg)
     assert seen == [msg]
     assert bus.get_latest() is msg
+
+
+def test_gym_vector_env():
+    pytest.importorskip("gymnasium")
+    import numpy as np
+
+    from mujoco_playground_tpu.envs.gym_wrapper import GymVectorAckermannEnv
+
+    venv = GymVectorAckermannEnv(4, maze_id="PointMaze_UMaze-v3",
+                                 config=EnvConfig(max_episode_steps=6))
+    obs, _ = venv.reset(seed=0)
+    assert obs.shape == (4, 79)
+    acts = np.tile([0.5, 0.1], (4, 1))
+    for i in range(6):
+        obs, rew, term, trunc, info = venv.step(acts)
+    assert trunc.all() and not term.any()     # all truncate at step 6
+    assert info["final_observation"].shape == (4, 79)
+    obs, rew, term, trunc, info = venv.step(acts)
+    assert not trunc.any()                    # fresh episodes after autoreset
