@@ -84,14 +84,24 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
         if verbose:
             print(f"profiler trace written to {profile_dir}")
 
+    # Host<->device syncs are expensive (hundreds of ms through a remote
+    # tunnel); read metrics back only every `log_interval` iterations and
+    # let iterations in between run fully async.
+    log_interval = max(1, 1_000_000 // steps_per_iter)
     t_start = time.time()
     last_good = None
-    while int(ts.global_step) < config.total_timesteps:
-        t0 = time.time()
-        prev = ts
+    gs = 0
+    it = 0
+    t0 = time.time()
+    prev = ts
+    while gs < config.total_timesteps:
         ts, metrics = train_step(ts)
+        it += 1
+        if it % log_interval:
+            continue
         jax.block_until_ready(ts.params)
-        dt = time.time() - t0
+        dt = (time.time() - t0) / log_interval
+        t0 = time.time()
         gs = int(ts.global_step)
         metrics = {k: float(v) for k, v in metrics.items()}
         # Failure detection (absent in the reference, SURVEY.md §5): if an
@@ -99,13 +109,11 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
         # pre-update state with a fresh RNG stream.
         if not all(np.isfinite(v) for v in metrics.values()):
             print(f"step {gs}: non-finite metrics {metrics}; "
-                  f"dropping update and continuing")
+                  f"rolling back to the last finite state")
             rng, sub = jax.random.split(prev.rng)
-            ts = prev.replace(rng=sub,
-                              global_step=prev.global_step
-                              + config.num_envs * config.unroll_length)
+            ts = prev.replace(rng=sub, global_step=ts.global_step)
             continue
-        last_good = ts
+        prev = ts
         metrics["steps_per_second"] = steps_per_iter / dt
         metrics["global_step"] = gs
         logger.log(gs, metrics)
@@ -160,14 +168,20 @@ def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
     train_step = jax.jit(make_step(random_actions=False))
     logger = MetricsLogger(os.path.join(config.log_dir, algo))
 
+    # Track the step count host-side (each iteration advances a fixed
+    # number of env steps) — device readbacks every iteration are expensive.
+    steps_per_iter = 4 * config.num_envs
+    log_every = max(1, 100_000 // steps_per_iter)
+    gs = 0
+    it = 0
     t0 = time.time()
-    while int(state.global_step) < total_timesteps:
-        step_fn = (warmup_step
-                   if int(state.global_step) < config.sac_learning_starts
+    while gs < total_timesteps:
+        step_fn = (warmup_step if gs < config.sac_learning_starts
                    else train_step)
         state, metrics = step_fn(state)
-        gs = int(state.global_step)
-        if gs % 4096 < config.num_envs * 4:
+        gs += steps_per_iter
+        it += 1
+        if it % log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["steps_per_second"] = gs / max(time.time() - t0, 1e-9)
             logger.log(gs, metrics)
