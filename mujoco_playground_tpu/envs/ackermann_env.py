@@ -241,25 +241,41 @@ class AckermannEnv:
             min_lidar=st.min_lidar)
 
     # ------------------------------------------------- batched fast path
-    def step_batch(self, states: EnvState, actions) -> EnvState:
+    def step_batch(self, states: EnvState, actions, models=None,
+                   base_model=None) -> EnvState:
         """Batched step (leaves carry a leading env axis).
 
         Semantics identical to ``vmap(step)``, but physics goes through
         ``engine.step_batch`` whose Newton solver runs batch-last in TPU
         lanes (~2x faster than the vmapped per-env path at 4096 envs).
+
+        Domain randomization: pass ``models`` (randomized leaves with a
+        leading env axis) plus ``base_model``.
         """
         cfg = self.config
+        model = self.model if models is None else models
         actions = jnp.clip(jnp.asarray(actions, self.dtype), -1.0, 1.0)
         ctrl = bicycle_cmd_vel_to_controls(
             actions[..., 0] * cfg.max_linear_velocity,
             actions[..., 1] * cfg.max_angular_velocity)
         physics = states.physics.replace(ctrl=ctrl)
         for _ in range(cfg.physics_substeps):
-            physics = engine.step_batch(self.model, physics)
+            physics = engine.step_batch(model, physics,
+                                        base_model=base_model)
 
         obs_src = states.physics if cfg.reference_delayed_obs else physics
-        obs, metrics = jax.vmap(self._observe)(obs_src, states.odom_ref,
-                                               states.goal)
+        if base_model is None:
+            obs, metrics = jax.vmap(self._observe)(obs_src, states.odom_ref,
+                                                   states.goal)
+        else:
+            bdict = engine.batched_field_dict(model, base_model)
+
+            def obs_dr(p, ref, goal, leaves):
+                return self._observe(p, ref, goal,
+                                     model=base_model.replace(**leaves))
+
+            obs, metrics = jax.vmap(obs_dr, in_axes=(0, 0, 0, 0))(
+                obs_src, states.odom_ref, states.goal, bdict)
         goal_distance = metrics["goal_distance"]
         collision = metrics["collision"]
         terminated = goal_distance < cfg.goal_distance_threshold

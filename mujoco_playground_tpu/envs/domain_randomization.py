@@ -109,8 +109,10 @@ class DomainRandomizedEnv:
         return jax.vmap(self.env.reset)(rngs)
 
     def step_batch(self, states: EnvState, actions) -> EnvState:
-        return jax.vmap(self.env.step, in_axes=(0, 0, self._axes))(
-            states, actions, self.models)
+        # batched fast path: batch-last smooth dynamics broadcast the
+        # per-env parameters; assembly vmaps over the randomized leaves
+        return self.env.step_batch(states, actions, models=self.models,
+                                   base_model=self.env.model)
 
     def step_autoreset_batch(self, states: EnvState, actions) -> EnvState:
         st = self.step_batch(states, actions)

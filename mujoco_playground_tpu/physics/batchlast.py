@@ -176,20 +176,38 @@ def motion_subspace_bl(model: Model, xpos, xquat, anchor):
     return S
 
 
+def _param_bl(x, base_ndim):
+    """Model param -> batch-last form: leaves with an extra leading env axis
+    (domain randomization) become (..., B) jnp arrays; unbatched leaves pass
+    through (numpy, broadcast-compatible)."""
+    nd = getattr(x, "ndim", 0)
+    if nd == base_ndim + 1:
+        return jnp.moveaxis(jnp.asarray(x), 0, -1)
+    return np.asarray(x)
+
+
 def _spatial_inertia_bl(model: Model, b, xpos_b, xquat_b, anchor):
-    """(6, 6, B) spatial inertia of body b about anchor."""
+    """(6, 6, B) spatial inertia of body b about anchor.
+
+    Handles per-env (domain-randomized) mass/inertia: those params arrive as
+    (B,)-trailing arrays and broadcast against the (.., B) geometry."""
     dtype = anchor.dtype
-    iquat = quat_mul_bl(xquat_b, jnp.asarray(
-        np.asarray(model.body_iquat)[b], dtype)[:, None])
+    iquat_p = _param_bl(model.body_iquat, 2)[b]       # (4,) or (4, B)
+    iq = (jnp.asarray(iquat_p, dtype)[:, None] if iquat_p.ndim == 1
+          else iquat_p.astype(dtype))
+    iquat = quat_mul_bl(xquat_b, iq)
     R = quat_to_mat_bl(iquat)                     # (3, 3, B)
-    diag = np.asarray(model.body_inertia)[b]
-    # I_world = R diag R^T
-    Iw = jnp.einsum('ikB,k,jkB->ijB', R, jnp.asarray(diag, dtype), R)
-    com = xpos_b + quat_rotate_bl(xquat_b, jnp.asarray(
-        np.asarray(model.body_ipos)[b], dtype)[:, None])
+    diag = _param_bl(model.body_inertia, 2)[b]        # (3,) or (3, B)
+    diag_e = (jnp.asarray(diag, dtype)[:, None] if diag.ndim == 1
+              else diag.astype(dtype))                # (3, 1|B)
+    Iw = jnp.einsum('ikB,jkB->ijB', R * diag_e[None, :, :], R)
+    ipos_p = _param_bl(model.body_ipos, 2)[b]
+    ip = (jnp.asarray(ipos_p, dtype)[:, None] if ipos_p.ndim == 1
+          else ipos_p.astype(dtype))
+    com = xpos_b + quat_rotate_bl(xquat_b, ip)
     c = com - anchor                              # (3, B)
-    m = float(np.asarray(model.body_mass)[b])
-    # skew(c)
+    m = _param_bl(model.body_mass, 1)[b]          # scalar or (B,)
+    m = jnp.asarray(m, dtype)
     B_ = c.shape[-1]
     zero = jnp.zeros((B_,), dtype)
     cx = jnp.stack([jnp.stack([zero, -c[2], c[1]]),
@@ -219,10 +237,19 @@ def crba_bias_bl(model: Model, xpos, xquat, qvel_bl, gravity):
     Sarr = jnp.stack(S)                                    # (nv, 6, B)
     mask = kinematics.ancestor_mask(model)                 # (nbody, nv) np
 
-    # keep only bodies with inertia (fused tree: all but world)
+    # keep only bodies with inertia (fused tree: all but world); with
+    # batched (domain-randomized) masses, keep bodies any env gives inertia
+    mass_np = np.asarray(jax.device_get(model.body_mass)
+                         if hasattr(model.body_mass, "devices")
+                         else model.body_mass)
+    inert_np = np.asarray(jax.device_get(model.body_inertia)
+                          if hasattr(model.body_inertia, "devices")
+                          else model.body_inertia)
+    if mass_np.ndim == 2:
+        mass_np = np.abs(mass_np).max(axis=0)
+        inert_np = np.abs(inert_np).max(axis=0)
     bodies = [b for b in range(model.nbody)
-              if float(np.asarray(model.body_mass)[b]) != 0.0
-              or np.any(np.asarray(model.body_inertia)[b])]
+              if mass_np[b] != 0.0 or np.any(inert_np[b])]
     Ibar = jnp.stack([
         _spatial_inertia_bl(model, b, xpos[b], xquat[b], anchor)
         for b in bodies])                                  # (nb, 6, 6, B)
@@ -232,8 +259,9 @@ def crba_bias_bl(model: Model, xpos, xquat, qvel_bl, gravity):
     Jfull = jnp.einsum('vkB,bv->bkvB', Sarr, mask_c)
     IJ = jnp.einsum('bklB,blvB->bkvB', Ibar, Jfull)
     M = jnp.einsum('bkvB,bkwB->vwB', Jfull, IJ)
-    arma = jnp.asarray(np.asarray(model.dof_armature), dtype)
-    M = M + jnp.eye(nv, dtype=dtype)[:, :, None] * arma[:, None, None]
+    arma = jnp.asarray(_param_bl(model.dof_armature, 1), dtype)
+    arma_col = arma[:, None] if arma.ndim == 1 else arma        # (nv, 1|B)
+    M = M + jnp.eye(nv, dtype=dtype)[:, :, None] * arma_col[:, None, :]
 
     # body spatial velocities
     vbody = jnp.einsum('bkvB,vB->bkB', Jfull, qvel_bl)     # (nb, 6, B)
@@ -285,21 +313,26 @@ def _force_cross_bl(v, f):
 # --- actuation + position integration ---------------------------------------
 
 def actuator_force_bl(model: Model, qpos_bl, qvel_bl, ctrl_bl):
-    """(nu, B) ctrl -> (nv, B) generalized force."""
+    """(nu, B) ctrl -> (nv, B) generalized force.
+
+    gain/bias may carry a per-env axis (domain randomization); ranges are
+    static."""
     from mujoco_playground_tpu.physics.constraint import _dof_to_qposadr
     dtype = qpos_bl.dtype
     nv = model.nv
+    gain = _param_bl(model.actuator_gain, 1)      # (nu,) or (nu, B)
+    bias = _param_bl(model.actuator_bias, 2)      # (nu, 3) or (nu, 3, B)
     out = jnp.zeros((nv, qpos_bl.shape[-1]), dtype)
     for u in range(model.nu):
         d = model.actuator_dof[u]
         qadr = _dof_to_qposadr(model, d)
-        lo, hi = model.actuator_ctrlrange[u]
-        c = jnp.clip(ctrl_bl[u], lo, hi)
-        force = (model.actuator_gain[u] * c + model.actuator_bias[u, 0]
-                 + model.actuator_bias[u, 1] * qpos_bl[qadr]
-                 + model.actuator_bias[u, 2] * qvel_bl[d])
-        force = jnp.clip(force, model.actuator_forcerange[u, 0],
-                         model.actuator_forcerange[u, 1])
+        cr = _param_bl(model.actuator_ctrlrange, 2)[u]   # (2,) or (2, B)
+        fr = _param_bl(model.actuator_forcerange, 2)[u]
+        c = jnp.clip(ctrl_bl[u], cr[0], cr[1])
+        force = (gain[u] * c + bias[u, 0]
+                 + bias[u, 1] * qpos_bl[qadr]
+                 + bias[u, 2] * qvel_bl[d])
+        force = jnp.clip(force, fr[0], fr[1])
         out = out.at[d].add(force)
     return out
 

@@ -79,13 +79,13 @@ def collide(model: Model, xpos, xquat) -> Contacts:
     pos_l, frame_l, dist_l, fric_l, solref_l, solimp_l, diag_l, body_l = (
         [], [], [], [], [], [], [], [])
 
-    wheel_iw = jnp.asarray(
-        np.asarray(model.body_invweight0)[np.asarray(model.wheel_body), 0],
-        dtype)
-    cb = np.asarray(model.chassis_box_body, dtype=np.int64)
-    chassis_iw = jnp.asarray(
-        np.asarray(model.body_invweight0)[cb, 0] if len(cb) else np.zeros(0),
-        dtype)
+    # tracer-safe: body lists are static tuples; invweight may be traced
+    # (e.g. under vmap over domain-randomized model leaves)
+    iw = jnp.asarray(model.body_invweight0, dtype)
+    wheel_iw = iw[list(model.wheel_body), 0]
+    chassis_iw = (iw[list(model.chassis_box_body), 0]
+                  if len(model.chassis_box_body)
+                  else jnp.zeros(0, dtype))
 
     # --- wheels vs plane: two rim contacts each -----------------------------
     for w in range(nw):

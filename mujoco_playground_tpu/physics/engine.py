@@ -82,13 +82,35 @@ def _integrate_pos(model: Model, qpos, qvel, h):
     return jnp.concatenate(out)
 
 
-def step_batch(model: Model, states: State) -> State:
+def batched_field_dict(model: Model, base_model: Model):
+    """Names -> leaves for model fields carrying an extra leading env axis
+    (domain randomization)."""
+    import dataclasses as _dc
+    out = {}
+    for f in _dc.fields(model):
+        if f.metadata.get("pytree_node", True) is False:
+            continue
+        leaf = getattr(model, f.name)
+        base = getattr(base_model, f.name)
+        if (hasattr(leaf, "ndim") and hasattr(base, "ndim")
+                and leaf.ndim == base.ndim + 1):
+            out[f.name] = leaf
+    return out
+
+
+def step_batch(model: Model, states: State,
+               base_model: Model = None) -> State:
     """Batched physics step — the TPU fast path (semantics == vmap(step)).
 
     Smooth dynamics (CRBA/RNEA/actuation/integration) run batch-last via
     :mod:`batchlast` (env axis in TPU lanes), the Newton constraint solve as
     a fused Pallas kernel, and only the cheap collision/efc assembly stays
     per-env under vmap.
+
+    Domain randomization: pass a ``model`` whose randomized leaves carry a
+    leading env axis plus the unbatched ``base_model``; the batch-last
+    stages broadcast per-env parameters natively and the per-env assembly
+    vmaps over them.
     """
     from mujoco_playground_tpu.physics import batchlast, solver_batched
 
@@ -102,9 +124,12 @@ def step_batch(model: Model, states: State) -> State:
 
     M_bl, bias_bl, S_bl, anchor_bl = batchlast.crba_bias_bl(
         model, xpos_l, xquat_l, qvel_bl, np.asarray(model.gravity))
+    damp = jnp.asarray(batchlast._param_bl(model.dof_damping, 1),
+                       qpos_bl.dtype)
+    damp_col = damp[:, None] if damp.ndim == 1 else damp      # (nv, 1|B)
     qfrc_smooth_bl = (batchlast.actuator_force_bl(model, qpos_bl, qvel_bl,
                                                   ctrl_bl)
-                      - model.dof_damping[:, None] * qvel_bl - bias_bl)
+                      - damp_col * qvel_bl - bias_bl)
     qacc_smooth = linalg_small.cho_solve_bl(
         linalg_small.cholesky_bl(M_bl), qfrc_smooth_bl).T   # (B, nv)
 
@@ -115,21 +140,35 @@ def step_batch(model: Model, states: State) -> State:
     S_env = jnp.moveaxis(S_bl, -1, 0)                    # (B, nv, 6)
     anchor_env = anchor_bl.T                             # (B, 3)
 
-    def assemble(state, S, anchor):
-        contacts = collision.collide(model, state.xpos, state.xquat)
-        return constraint.make_efc(model, state.qpos, state.qvel, S, mask,
-                                   anchor, contacts)
+    if base_model is None:
+        def assemble(state, S, anchor):
+            contacts = collision.collide(model, state.xpos, state.xquat)
+            return constraint.make_efc(model, state.qpos, state.qvel, S,
+                                       mask, anchor, contacts)
 
-    efc = jax.vmap(assemble)(states, S_env, anchor_env)
+        efc = jax.vmap(assemble)(states, S_env, anchor_env)
+    else:
+        bdict = batched_field_dict(model, base_model)
+
+        def assemble_dr(state, S, anchor, leaves):
+            m_env = base_model.replace(**leaves)
+            contacts = collision.collide(m_env, state.xpos, state.xquat)
+            return constraint.make_efc(m_env, state.qpos, state.qvel, S,
+                                       mask, anchor, contacts)
+
+        efc = jax.vmap(assemble_dr, in_axes=(0, 0, 0, 0))(
+            states, S_env, anchor_env, bdict)
     M_env = jnp.moveaxis(M_bl, -1, 0)                    # (B, nv, nv)
     qacc, _forces = solver_batched.solve_batched(model, M_env, qacc_smooth,
                                                  efc)
 
     # Batch-last implicit-damping integration: (M + hD) v' = Mv + hDv + hMa.
     a = qacc.T
+    nv = model.nv
     rhs = (jnp.sum(M_bl * (qvel_bl + h * a)[None, :, :], axis=1)
-           + h * model.dof_damping[:, None] * qvel_bl)
-    MhDt = M_bl + h * jnp.diag(model.dof_damping)[:, :, None]
+           + h * damp_col * qvel_bl)
+    MhDt = M_bl + h * (jnp.eye(nv, dtype=qpos_bl.dtype)[:, :, None]
+                       * damp_col[:, None, :])
     qvel_new_bl = linalg_small.cho_solve_bl(
         linalg_small.cholesky_bl(MhDt), rhs)             # (nv, B)
     qpos_new_bl = batchlast.integrate_pos_bl(model, qpos_bl, qvel_new_bl, h)
