@@ -49,9 +49,16 @@ class TrainState:
 
 
 def make_optimizer(config: RLConfig):
+    if getattr(config, "anneal_lr", False) and config.total_timesteps:
+        updates_total = max(1, (config.total_timesteps
+                                // (config.num_envs * config.unroll_length))
+                            * config.ppo_epochs * config.num_minibatches)
+        lr = optax.linear_schedule(config.learning_rate, 0.0, updates_total)
+    else:
+        lr = config.learning_rate
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(config.learning_rate, eps=1e-5),
+        optax.adam(lr, eps=1e-5),
     )
 
 

@@ -218,6 +218,9 @@ def main(argv=None):
     p.add_argument("--unroll", type=int, default=32)
     p.add_argument("--minibatches", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--anneal-lr", action="store_true")
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log-dir", default="rl_logs")
     p.add_argument("--profile", metavar="DIR", default=None,
@@ -236,6 +239,7 @@ def main(argv=None):
         eval_episodes=args.eval_episodes,
         num_envs=args.num_envs, unroll_length=args.unroll,
         num_minibatches=args.minibatches, seed=args.seed,
+        anneal_lr=args.anneal_lr, gamma=args.gamma, ent_coef=args.ent_coef,
         log_dir=args.log_dir)
 
     print("=" * 60)
