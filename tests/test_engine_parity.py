@@ -110,3 +110,29 @@ def test_step_is_jit_vmap_compatible(floor_pair):
     stepped = jax.jit(jax.vmap(lambda s: engine.step(model, s)))(batch)
     assert stepped.qpos.shape == (16, model.nq)
     assert np.isfinite(np.asarray(stepped.qpos)).all()
+
+
+def test_f32_production_solver_accuracy():
+    """The production config (f32, 4 Newton / 3 ls iterations) tracks the
+    converged f64/20-iteration solution at float32 rounding level — the
+    fixed iteration count is not the accuracy bottleneck."""
+    from mujoco_playground_tpu.envs.ackermann_env import AckermannEnv
+
+    env_hi = AckermannEnv(maze_id="PointMaze_UMaze-v3", dtype=jnp.float64,
+                          solver_iterations=20, ls_iterations=12)
+    env_lo = AckermannEnv(maze_id="PointMaze_UMaze-v3", dtype=jnp.float32,
+                          solver_iterations=4, ls_iterations=3)
+    s_hi = env_hi.reset(jax.random.PRNGKey(5))
+    s_lo = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, s_hi)
+    step_hi = jax.jit(env_hi.step)
+    step_lo = jax.jit(env_lo.step)
+    rng = np.random.RandomState(0)
+    for t in range(50):
+        a = rng.uniform(-1, 1, 2)
+        s_hi = step_hi(s_hi, jnp.asarray(a))
+        s_lo = step_lo(s_lo, jnp.asarray(a, jnp.float32))
+    err = np.abs(np.asarray(s_hi.physics.qpos[:7], np.float64)
+                 - np.asarray(s_lo.physics.qpos[:7], np.float64)).max()
+    assert err < 5e-4, f"f32 production trajectory error {err}"
