@@ -57,25 +57,15 @@ def _cholesky_solve_lanes(H, g, n):
     return x
 
 
-def _newton_kernel(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
-                   Mt_ref, a_s_ref, Gt_ref, j_aref_ref, j_R_ref, j_floss_ref,
-                   j_active_ref, Jnt_ref, Jt1t_ref, Jt2t_ref, c_aref_ref,
-                   c_R_ref, c_mu_ref, c_active_ref, out_ref):
-    Mt = Mt_ref[...]               # (nv, nv, B)
-    a_s = a_s_ref[...]             # (nv, B)
-    Gt = Gt_ref[...]               # (nv, nj, B)
-    j_aref = j_aref_ref[...]       # (nj, B)
-    jRinv = 1.0 / j_R_ref[...]
-    j_floss = j_floss_ref[...]
-    j_active = j_active_ref[...]
-    Jnt = Jnt_ref[...]             # (nv, nc, B)
-    Jt1t = Jt1t_ref[...]
-    Jt2t = Jt2t_ref[...]
-    c_aref = c_aref_ref[...]       # (4, nc, B)
-    cRinv = 1.0 / c_R_ref[...]     # (nc, B)
-    mu = c_mu_ref[...]
-    c_active = c_active_ref[...]
+def newton_body(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
+                Mt, a_s, Gt, j_aref, jRinv, j_floss, j_active,
+                Jnt, Jt1t, Jt2t, c_aref, cRinv, mu, c_active):
+    """The Newton loop on loaded VMEM values (reused by the fused step kernel).
 
+    Shapes: Mt (nv, nv, B); a_s (nv, B); Gt (nv, nj, B); j_* (nj, B);
+    Jnt/Jt1t/Jt2t (nv, nc, B); c_aref (4, nc, B); c-rows (nc, B).
+    Returns the solution as a list of nv (B,) lane vectors.
+    """
     def joint_forces(xj):
         # Static row kinds -> unrolled per row; ops on (B,) lane vectors.
         f_rows, q_rows = [], []
@@ -189,6 +179,19 @@ def _newton_kernel(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
                              0.0, 2.0)
         avec = [avec[v] + alpha * delta[v] for v in range(nv)]
 
+    return avec
+
+
+def _newton_kernel(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
+                   Mt_ref, a_s_ref, Gt_ref, j_aref_ref, j_R_ref, j_floss_ref,
+                   j_active_ref, Jnt_ref, Jt1t_ref, Jt2t_ref, c_aref_ref,
+                   c_R_ref, c_mu_ref, c_active_ref, out_ref):
+    avec = newton_body(
+        nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
+        Mt_ref[...], a_s_ref[...], Gt_ref[...], j_aref_ref[...],
+        1.0 / j_R_ref[...], j_floss_ref[...], j_active_ref[...],
+        Jnt_ref[...], Jt1t_ref[...], Jt2t_ref[...], c_aref_ref[...],
+        1.0 / c_R_ref[...], c_mu_ref[...], c_active_ref[...])
     out_ref[...] = jnp.stack(avec)
 
 
