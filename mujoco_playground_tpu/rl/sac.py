@@ -63,6 +63,32 @@ def sample_tanh(mean, log_std, key):
     return action, logp
 
 
+def q_target(actor, qnet, actor_params, q_target_params, log_alpha, batch,
+             key, gamma):
+    """SB3 SAC critic target: r + gamma*(1-term)*(min Q' - alpha*log pi').
+
+    Module-level so tests/test_offpolicy.py can oracle-check the exact
+    function the trainer differentiates (reference semantics:
+    src/rl/train.py:108-114 delegating to SB3 SAC).
+    """
+    obs, action, reward, next_obs, terminated = batch
+    mean, log_std = actor.apply(actor_params, next_obs)
+    next_action, next_logp = sample_tanh(mean, log_std, key)
+    tq1, tq2 = qnet.apply(q_target_params, next_obs, next_action)
+    alpha = jnp.exp(log_alpha)
+    return reward + gamma * (1.0 - terminated) * (
+        jnp.minimum(tq1, tq2) - alpha * next_logp)
+
+
+def alpha_loss(log_alpha, logp, target_entropy):
+    """Automatic entropy tuning loss: -E[log_alpha*(log pi + H_target)].
+
+    d/d(log_alpha) = -(mean(logp) + H_target): alpha rises while the policy
+    is less entropic than the target (SB3 ent_coef='auto' semantics).
+    """
+    return -jnp.mean(log_alpha * jax.lax.stop_gradient(logp + target_entropy))
+
+
 @struct.dataclass
 class SACState:
     actor_params: Any
@@ -128,15 +154,11 @@ def make_sac(env, config: RLConfig, collect_steps: int = 4,
         return env_states, buffer, rews.mean()
 
     def q_loss_fn(q_params, state, batch, key):
-        obs, action, reward, next_obs, terminated = batch
-        mean, log_std = actor.apply(state.actor_params, next_obs)
-        next_action, next_logp = sample_tanh(mean, log_std, key)
-        tq1, tq2 = qnet.apply(state.q_target_params, next_obs, next_action)
-        alpha = jnp.exp(state.log_alpha)
-        target = reward + config.gamma * (1.0 - terminated) * (
-            jnp.minimum(tq1, tq2) - alpha * next_logp)
+        obs, action = batch[0], batch[1]
+        target = jax.lax.stop_gradient(q_target(
+            actor, qnet, state.actor_params, state.q_target_params,
+            state.log_alpha, batch, key, config.gamma))
         q1, q2 = qnet.apply(q_params, obs, action)
-        target = jax.lax.stop_gradient(target)
         return 0.5 * (jnp.mean((q1 - target) ** 2)
                       + jnp.mean((q2 - target) ** 2))
 
@@ -169,9 +191,8 @@ def make_sac(env, config: RLConfig, collect_steps: int = 4,
                 au, a_opt = a_tx.update(ag, st.actor_opt, st.actor_params)
                 actor_params = optax.apply_updates(st.actor_params, au)
 
-                alpha_g = jax.grad(
-                    lambda la: -jnp.mean(la * jax.lax.stop_gradient(
-                        logp + target_entropy)))(st.log_alpha)
+                alpha_g = jax.grad(alpha_loss)(st.log_alpha, logp,
+                                               target_entropy)
                 alu, alpha_opt = al_tx.update(alpha_g, st.alpha_opt,
                                               st.log_alpha)
                 log_alpha = optax.apply_updates(st.log_alpha, alu)

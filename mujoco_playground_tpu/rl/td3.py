@@ -31,6 +31,25 @@ class DeterministicActor(nn.Module):
         return jnp.tanh(nn.Dense(self.action_size, name="out")(x))
 
 
+def q_target(actor, qnet, config, actor_target_params, q_target_params,
+             batch, key):
+    """SB3 TD3 smoothed critic target:
+    r + gamma*(1-term)*min Q'(s', clip(pi_targ(s') + clipped noise)).
+
+    Module-level so tests/test_offpolicy.py can oracle-check the exact
+    function the trainer differentiates.
+    """
+    obs, action, reward, next_obs, terminated = batch
+    noise = jnp.clip(
+        config.td3_policy_noise * jax.random.normal(
+            key, action.shape, action.dtype),
+        -config.td3_noise_clip, config.td3_noise_clip)
+    next_action = jnp.clip(
+        actor.apply(actor_target_params, next_obs) + noise, -1.0, 1.0)
+    tq1, tq2 = qnet.apply(q_target_params, next_obs, next_action)
+    return reward + config.gamma * (1.0 - terminated) * jnp.minimum(tq1, tq2)
+
+
 @struct.dataclass
 class TD3State:
     actor_params: Any
@@ -85,7 +104,7 @@ def make_td3(env, config: RLConfig, collect_steps: int = 4,
                     action = actor.apply(state.actor_params, obs)
                     action = jnp.clip(
                         action + exploration_noise * jax.random.normal(
-                            key, action.shape), -1.0, 1.0)
+                            key, action.shape, action.dtype), -1.0, 1.0)
                 nxt = env.step_autoreset_batch(env_states, action)
                 buffer = rb.insert(buffer, obs, action, nxt.reward,
                                    nxt.final_obs, nxt.terminated)
@@ -97,20 +116,10 @@ def make_td3(env, config: RLConfig, collect_steps: int = 4,
             state = state.replace(env_states=env_states, buffer=buffer)
 
             def q_loss_fn(q_params, st, batch, key):
-                obs, action, reward, next_obs, terminated = batch
-                noise = jnp.clip(
-                    config.td3_policy_noise * jax.random.normal(
-                        key, action.shape),
-                    -config.td3_noise_clip, config.td3_noise_clip)
-                next_action = jnp.clip(
-                    actor.apply(st.actor_target_params, next_obs) + noise,
-                    -1.0, 1.0)
-                tq1, tq2 = qnet.apply(st.q_target_params, next_obs,
-                                      next_action)
-                target = reward + config.gamma * (1.0 - terminated) * (
-                    jnp.minimum(tq1, tq2))
-                target = jax.lax.stop_gradient(target)
-                q1, q2 = qnet.apply(q_params, obs, action)
+                target = jax.lax.stop_gradient(q_target(
+                    actor, qnet, config, st.actor_target_params,
+                    st.q_target_params, batch, key))
+                q1, q2 = qnet.apply(q_params, batch[0], batch[1])
                 return 0.5 * (jnp.mean((q1 - target) ** 2)
                               + jnp.mean((q2 - target) ** 2))
 
