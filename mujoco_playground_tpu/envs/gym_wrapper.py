@@ -18,9 +18,14 @@ import numpy as np
 try:
     import gymnasium as gym
     from gymnasium import spaces
+    from gymnasium.vector import VectorEnv
+    from gymnasium.vector.vector_env import AutoresetMode
+    from gymnasium.vector.utils import batch_space
     _BASE = gym.Env
+    _VBASE = VectorEnv
 except ImportError:  # pragma: no cover
     _BASE = object
+    _VBASE = object
     spaces = None
 
 from mujoco_playground_tpu.envs.ackermann_env import AckermannEnv, EnvConfig
@@ -129,25 +134,37 @@ class GymAckermannEnv(_BASE):
             self._viewer = None
 
 
-class GymVectorAckermannEnv:
-    """Gymnasium-style vector env over the batched TPU fast path.
+class GymVectorAckermannEnv(_VBASE):
+    """``gymnasium.vector.VectorEnv`` over the batched TPU fast path.
 
-    Auto-resets like Gymnasium's vector API: when an episode ends, the
-    returned observation is the next episode's first observation and the
-    terminal observation is provided in ``info["final_observation"]``.
+    Implements the real Gymnasium 1.x vector contract in SAME_STEP autoreset
+    mode: when an episode ends, the returned observation is the next
+    episode's first observation and the terminal observation/info arrive in
+    ``info["final_obs"]`` / ``info["final_info"]`` (the convention
+    gymnasium's own SyncVectorEnv uses for this mode), with
+    ``metadata["autoreset_mode"]`` advertising it.  Spaces follow the
+    single/batched space split (``batch_space``).
     """
+
+    metadata = ({"autoreset_mode": AutoresetMode.SAME_STEP}
+                if spaces is not None else {})
 
     def __init__(self, num_envs: int, env: Optional[AckermannEnv] = None,
                  maze_id: Optional[str] = None,
                  config: EnvConfig = EnvConfig(), seed: int = 0):
         self.env = env or AckermannEnv(maze_id=maze_id, config=config)
         self.num_envs = num_envs
-        self.single_observation_space = (spaces.Box(
-            low=-np.inf, high=np.inf, shape=(self.env.obs_size,),
-            dtype=np.float32) if spaces is not None else None)
-        self.single_action_space = (spaces.Box(
-            low=-1.0, high=1.0, shape=(self.env.action_size,),
-            dtype=np.float32) if spaces is not None else None)
+        if spaces is not None:
+            self.single_observation_space = spaces.Box(
+                low=-np.inf, high=np.inf, shape=(self.env.obs_size,),
+                dtype=np.float32)
+            self.single_action_space = spaces.Box(
+                low=-1.0, high=1.0, shape=(self.env.action_size,),
+                dtype=np.float32)
+            self.observation_space = batch_space(
+                self.single_observation_space, num_envs)
+            self.action_space = batch_space(self.single_action_space,
+                                            num_envs)
         self._reset_jit = jax.jit(jax.vmap(self.env.reset))
         self._step_jit = jax.jit(self.env.step_autoreset_batch)
         self._seed = seed
@@ -164,10 +181,23 @@ class GymVectorAckermannEnv:
     def step(self, actions):
         self._states = self._step_jit(self._states, jnp.asarray(actions))
         s = self._states
+        done = np.asarray(s.done)
         info = {
-            "final_observation": np.asarray(s.final_obs, np.float32),
             "goal_distance": np.asarray(s.goal_distance),
             "collision": np.asarray(s.collision),
         }
+        if done.any():
+            info["final_obs"] = np.asarray(s.final_obs, np.float32)
+            info["final_info"] = {
+                "goal_distance": np.asarray(s.goal_distance),
+                "collision": np.asarray(s.collision),
+                "_goal_distance": done,
+                "_collision": done,
+            }
+            info["_final_obs"] = done
+            info["_final_info"] = done
         return (np.asarray(s.obs, np.float32), np.asarray(s.reward),
                 np.asarray(s.terminated), np.asarray(s.truncated), info)
+
+    def close_extras(self, **kwargs):
+        pass

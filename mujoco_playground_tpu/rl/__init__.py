@@ -8,8 +8,4 @@ from mujoco_playground_tpu.rl.evaluate import (  # noqa: F401
     evaluate_agent,
 )
 from mujoco_playground_tpu.rl.random_policy import run_random_baseline  # noqa: F401
-from mujoco_playground_tpu.rl.utils import (  # noqa: F401
-    compute_episode_stats,
-    create_action_mapping,
-    normalize_observation,
-)
+from mujoco_playground_tpu.rl.utils import compute_episode_stats  # noqa: F401

@@ -1,7 +1,9 @@
-"""RL utilities — twins of the reference's src/rl/utils.py."""
+"""RL utilities (reference src/rl/utils.py — only the helpers that are
+actually consumed; the reference's ``normalize_observation`` /
+``create_action_mapping`` were dead code there and are not reproduced)."""
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
@@ -17,17 +19,3 @@ def compute_episode_stats(returns: List[float],
         'mean_length': float(np.mean(lengths)),
         'std_length': float(np.std(lengths)),
     }
-
-
-def normalize_observation(obs: np.ndarray, low, high) -> np.ndarray:
-    """Normalize observation to [0, 1] (reference utils.py:53-63)."""
-    range_vals = np.asarray(high) - np.asarray(low)
-    range_vals = np.where(range_vals == 0, 1.0, range_vals)
-    return (obs - low) / range_vals
-
-
-def create_action_mapping(max_linear: float = 1.0, max_angular: float = 1.0):
-    """Map normalized actions to velocities (reference utils.py:66-72)."""
-    def map_action(action) -> Tuple[float, float]:
-        return action[0] * max_linear, action[1] * max_angular
-    return map_action

@@ -76,14 +76,29 @@ def test_gym_vector_env():
 
     from mujoco_playground_tpu.envs.gym_wrapper import GymVectorAckermannEnv
 
+    import gymnasium as gym
+    from gymnasium.vector import VectorEnv
+    from gymnasium.vector.vector_env import AutoresetMode
+
     venv = GymVectorAckermannEnv(4, maze_id="PointMaze_UMaze-v3",
                                  config=EnvConfig(max_episode_steps=6))
+    # real gymnasium.vector.VectorEnv contract
+    assert isinstance(venv, VectorEnv)
+    assert venv.metadata["autoreset_mode"] is AutoresetMode.SAME_STEP
+    assert venv.observation_space.shape == (4, 79)
+    assert venv.action_space.shape == (4, 2)
     obs, _ = venv.reset(seed=0)
     assert obs.shape == (4, 79)
-    acts = np.tile([0.5, 0.1], (4, 1))
+    assert venv.observation_space.contains(obs)
+    acts = np.tile([0.5, 0.1], (4, 1)).astype(np.float32)
     for i in range(6):
         obs, rew, term, trunc, info = venv.step(acts)
     assert trunc.all() and not term.any()     # all truncate at step 6
-    assert info["final_observation"].shape == (4, 79)
+    # SAME_STEP convention: final_obs/final_info + mask keys
+    assert info["final_obs"].shape == (4, 79)
+    assert info["_final_obs"].all()
+    assert "final_info" in info
     obs, rew, term, trunc, info = venv.step(acts)
     assert not trunc.any()                    # fresh episodes after autoreset
+    assert "final_obs" not in info            # no episode ended this step
+    venv.close()
