@@ -27,6 +27,11 @@ def save_checkpoint(path: str, train_state, step: int) -> str:
     if _HAS_ORBAX:
         ckpt = ocp.StandardCheckpointer()
         target = os.path.join(path, f"step_{step:010d}")
+        if os.path.isdir(target):
+            # Idempotent per step: the end-of-training save can land on the
+            # same global_step as the last periodic save (orbax refuses to
+            # overwrite an existing destination).
+            return target
         ckpt.save(target, jax.device_get(train_state))
         ckpt.wait_until_finished()
         return target

@@ -177,3 +177,47 @@ def test_autoreset_starts_new_episode():
     state = env.step_autoreset(state, jnp.asarray([0.5, 0.0]))
     assert int(state.steps) == 1     # fresh episode stepped once
     assert not bool(state.done)
+
+
+def test_batched_autoreset_matches_per_env_path():
+    """step_autoreset_batch's merged-single-observe restructure must equal
+    vmap(step_autoreset) exactly (same RNG stream, same obs/reward/flags),
+    including across episode boundaries."""
+    env = AckermannEnv(maze_id="PointMaze_UMaze-v3",
+                       config=EnvConfig(max_episode_steps=4),
+                       solver_iterations=2, ls_iterations=2)
+    B = 6
+    states_b = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(3), B))
+    states_v = states_b
+    acts = jnp.tile(jnp.asarray([0.6, 0.2], jnp.float32), (B, 1))
+    step_b = jax.jit(env.step_autoreset_batch)
+    step_v = jax.jit(jax.vmap(env.step_autoreset, in_axes=(0, 0)))
+    for t in range(6):   # crosses the step-4 truncation boundary
+        states_b = step_b(states_b, acts)
+        states_v = step_v(states_v, acts)
+        for name in ("obs", "final_obs", "reward", "terminated", "truncated",
+                     "done", "steps", "goal", "goal_distance", "min_lidar"):
+            a = np.asarray(getattr(states_b, name), np.float64)
+            b = np.asarray(getattr(states_v, name), np.float64)
+            np.testing.assert_allclose(
+                a, b, atol=1e-6, err_msg=f"{name} diverged at t={t}")
+        np.testing.assert_allclose(
+            np.asarray(states_b.physics.qpos),
+            np.asarray(states_v.physics.qpos), atol=1e-6)
+
+
+def test_observe_batch_matches_vmap_observe():
+    env = AckermannEnv(maze_id="PointMaze_UMaze-v3",
+                       solver_iterations=2, ls_iterations=2)
+    B = 5
+    states = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(7), B))
+    obs_b, met_b = env._observe_batch(states.physics, states.odom_ref,
+                                      states.goal)
+    obs_v, met_v = jax.vmap(env._observe)(states.physics, states.odom_ref,
+                                          states.goal)
+    np.testing.assert_allclose(np.asarray(obs_b), np.asarray(obs_v),
+                               atol=1e-6)
+    for k in met_b:
+        np.testing.assert_allclose(np.asarray(met_b[k], np.float64),
+                                   np.asarray(met_v[k], np.float64),
+                                   atol=1e-6)
