@@ -12,8 +12,8 @@ from typing import Optional
 import jax.numpy as jnp
 
 from mujoco_playground_tpu.envs.ackermann_env import AckermannEnv, EnvConfig
-from mujoco_playground_tpu.spec.scene import (MAZE_ALIASES, POINTMAZE_MAPS,
-                                              maze_flat_scene)
+from mujoco_playground_tpu.spec.scene import (maze_flat_scene,
+                                              pointmaze_scene)
 from mujoco_playground_tpu.spec.scene import list_available_mazes  # noqa: F401
 
 
@@ -24,12 +24,17 @@ def make_ackermann_env(env_type: str = "maze",
                        goal_distance_threshold: float = 0.3,
                        max_episode_steps: int = 1000,
                        dtype=jnp.float32,
+                       maze_map=None,
                        **kwargs) -> AckermannEnv:
     """Create an Ackermann navigation env.
 
     Args:
       env_type: 'maze' (PointMaze arena), 'simple' (open floor), or
         'maze_flat' (the hand-authored 38-obstacle grid).
+      maze_map: optional explicit cell grid (gymnasium_robotics-style, may
+        mix 0/1 with 'r'/'g'/'c' markers) overriding `maze_id`'s layout.
+        Unknown `maze_id`s resolve through the gymnasium registry
+        (spec.scene.registry_maze_map).
     """
     config = EnvConfig(
         max_linear_velocity=max_linear_velocity,
@@ -38,12 +43,8 @@ def make_ackermann_env(env_type: str = "maze",
         max_episode_steps=max_episode_steps,
         **{k: v for k, v in kwargs.items() if k in EnvConfig.__annotations__})
     if env_type == "maze":
-        maze_id = MAZE_ALIASES.get(maze_id, maze_id)
-        if maze_id not in POINTMAZE_MAPS:
-            raise ValueError(
-                f"Unknown maze id {maze_id!r}; available: "
-                f"{list(POINTMAZE_MAPS)}")
-        return AckermannEnv(maze_id=maze_id, config=config, dtype=dtype)
+        scene = pointmaze_scene(maze_id, maze_map=maze_map)
+        return AckermannEnv(scene=scene, config=config, dtype=dtype)
     if env_type == "simple":
         return AckermannEnv(config=config, dtype=dtype)
     if env_type == "maze_flat":

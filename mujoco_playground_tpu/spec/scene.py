@@ -120,10 +120,46 @@ def maze_flat_scene() -> SceneSpec:
     return SceneSpec(name="ackermann_maze_flat", box_pos=pos, box_size=size)
 
 
+def normalize_maze_map(maze_map) -> np.ndarray:
+    """Arbitrary gymnasium_robotics-style cell grid -> int wall grid.
+
+    Accepts the registry's mixed-type maps: ``1`` is a wall; ``0`` and the
+    string markers ``'r'``/``'g'``/``'c'`` (reset / goal / combined cells)
+    are free.  Rows must be equal length.
+    """
+    rows = [[1 if c == 1 else 0 for c in row] for row in maze_map]
+    if len({len(r) for r in rows}) > 1:
+        raise ValueError("maze_map rows have unequal lengths")
+    return np.asarray(rows, dtype=int)
+
+
+def registry_maze_map(maze_id: str):
+    """Fetch the cell grid for ANY registered PointMaze env id.
+
+    The reference creates the full gym env and steals its generated XML
+    (src/rl/envs/ackermann_gymnasium_maze_env.py:84-98); here only the
+    layout *data* is read from the registry spec — no env, no XML.
+    """
+    import gymnasium as gym
+    import gymnasium_robotics  # noqa: F401  (registers the PointMaze ids)
+    try:
+        spec = gym.spec(maze_id)
+    except Exception as e:
+        raise KeyError(
+            f"maze id {maze_id!r} not in the transcribed maps nor the "
+            f"gymnasium registry") from e
+    maze_map = spec.kwargs.get("maze_map")
+    if maze_map is None:
+        raise KeyError(f"{maze_id!r} is registered but has no maze_map kwarg "
+                       f"(not a PointMaze env?)")
+    return maze_map
+
+
 def pointmaze_scene(maze_id: str = "PointMaze_UMaze-v3",
                     floor_z: float = -0.5,
                     maze_height: float = 0.4,
-                    size_scaling: float = 1.0) -> SceneSpec:
+                    size_scaling: float = 1.0,
+                    maze_map=None) -> SceneSpec:
     """PointMaze arena as box layout data.
 
     Reproduces the reference's merged-maze geometry *after* its XML surgery
@@ -131,9 +167,19 @@ def pointmaze_scene(maze_id: str = "PointMaze_UMaze-v3",
     block re-seated so its bottom rests on the ground (center z = floor_z +
     half-height).  Cell (i, j) of the map is centered at
     (x_center - ...), matching gymnasium_robotics's cell_xy convention.
+
+    ``maze_id`` may be any registered PointMaze env id: the four transcribed
+    maps resolve locally, anything else is fetched from the gymnasium
+    registry (``registry_maze_map``).  ``maze_map`` overrides with an
+    explicit cell grid (any gymnasium_robotics-style map).
     """
     maze_id = MAZE_ALIASES.get(maze_id, maze_id)
-    grid = np.asarray(POINTMAZE_MAPS[maze_id])
+    if maze_map is not None:
+        grid = normalize_maze_map(maze_map)
+    elif maze_id in POINTMAZE_MAPS:
+        grid = np.asarray(POINTMAZE_MAPS[maze_id])
+    else:
+        grid = normalize_maze_map(registry_maze_map(maze_id))
     rows, cols = grid.shape
     x_center = cols / 2 * size_scaling
     y_center = rows / 2 * size_scaling
