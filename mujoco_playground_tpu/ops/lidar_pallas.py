@@ -37,7 +37,8 @@ _BUILD_CACHE = {}
 
 
 def _lidar_kernel(site_body, site_pos, site_quat, boxes_lo, boxes_hi,
-                  plane_z, cutoff, nbody, xpos_ref, xquat_ref, out_ref):
+                  plane_z, plane_half, cutoff, nbody,
+                  xpos_ref, xquat_ref, out_ref):
     """xpos (nbody*3, B), xquat (nbody*4, B) -> lidar (nsite, B)."""
     xpos = xpos_ref[...]
     xquat = xquat_ref[...]
@@ -58,10 +59,12 @@ def _lidar_kernel(site_body, site_pos, site_quat, boxes_lo, boxes_hi,
              2.0 * (y * z - w * x),
              1.0 - 2.0 * (x * x + y * y)]
 
-        # ---- infinite floor plane ----
+        # ---- floor plane (finite extents, MuJoCo ray_plane semantics) ----
         dz_ok = jnp.abs(d[2]) > _PEPS
         t_plane = (plane_z - o[2]) / jnp.where(dz_ok, d[2], _PEPS)
-        t_plane = jnp.where(dz_ok & (t_plane > 0), t_plane, BIG)
+        on_plane = ((jnp.abs(o[0] + t_plane * d[0]) <= plane_half[0])
+                    & (jnp.abs(o[1] + t_plane * d[1]) <= plane_half[1]))
+        t_plane = jnp.where(dz_ok & (t_plane > 0) & on_plane, t_plane, BIG)
 
         # ---- AABBs, incremental min over boxes (static lo/hi floats) ----
         par = [jnp.abs(d[c]) <= _EPS for c in range(3)]
@@ -109,6 +112,8 @@ def build_lidar_fn(model, block_b: int = BLOCK_B, interpret: bool = False):
     boxes_lo = [tuple(float(v) for v in r) for r in (bpos - bsize)]
     boxes_hi = [tuple(float(v) for v in r) for r in (bpos + bsize)]
     plane_z = float(np.asarray(model.plane_z))
+    ph = np.asarray(model.plane_half_size, np.float64)
+    plane_half = tuple(float(v) if v > 0 else float(BIG) for v in ph)
     cutoff = tuple(float(c) for c in np.asarray(model.sensor_cutoff))
     if len(cutoff) < len(site_body):  # scalar / shared cutoff
         cutoff = tuple(np.broadcast_to(np.asarray(model.sensor_cutoff),
@@ -117,7 +122,8 @@ def build_lidar_fn(model, block_b: int = BLOCK_B, interpret: bool = False):
     nsite = len(site_body)
 
     kernel = functools.partial(_lidar_kernel, site_body, site_pos, site_quat,
-                               boxes_lo, boxes_hi, plane_z, cutoff, nbody)
+                               boxes_lo, boxes_hi, plane_z, plane_half,
+                               cutoff, nbody)
 
     def spec(rows):
         return pl.BlockSpec((rows, block_b), lambda i: (0, i),

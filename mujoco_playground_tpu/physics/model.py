@@ -115,6 +115,7 @@ class Model:
     chassis_box_size: Any      # (nbox_r, 3)
     # scene
     plane_z: Any               # scalar
+    plane_half_size: Any       # (2,) x/y half extents; <=0 => infinite
     plane_friction: Any        # (3,)
     plane_solref: Any
     plane_solimp: Any
@@ -396,11 +397,17 @@ def make_model(spec: st.ModelSpec,
 
     # plane from spec world geoms (fall back to scene floor_z)
     plane_z = scene.floor_z
+    # mjcf.to_mjcf always exports the floor as size="40 40 0.1" at the
+    # origin; MuJoCo rays treat a plane with positive sizes as FINITE
+    # (engine_ray.c ray_plane), so the raycast needs the extents too.
+    plane_half_size = np.array([40.0, 40.0])
     plane_friction = np.asarray(scene.floor_friction)
     plane_solref = np.array([0.02, 1.0])
     plane_solimp = np.array([0.9, 0.95, 0.001, 0.5, 2.0])
     for g in spec.world_geoms:
         if g.type == st.PLANE:
+            if len(g.size) >= 2:
+                plane_half_size = np.asarray(g.size[:2], np.float64)
             plane_friction = np.asarray(g.friction)
             plane_solref = np.asarray(g.solref)
             plane_solimp = np.asarray(g.solimp)
@@ -502,7 +509,8 @@ def make_model(spec: st.ModelSpec,
         chassis_box_pos=arr(np.stack(cbox_pos)) if cbox_pos else arr(np.zeros((0, 3))),
         chassis_box_quat=arr(np.stack(cbox_quat)) if cbox_pos else arr(np.zeros((0, 4))),
         chassis_box_size=arr(np.stack(cbox_size)) if cbox_pos else arr(np.zeros((0, 3))),
-        plane_z=arr(plane_z), plane_friction=arr(plane_friction),
+        plane_z=arr(plane_z), plane_half_size=arr(plane_half_size),
+        plane_friction=arr(plane_friction),
         plane_solref=arr(plane_solref), plane_solimp=arr(plane_solimp),
         scene_box_pos=arr(scene.box_pos.reshape(-1, 3)),
         scene_box_size=arr(scene.box_size.reshape(-1, 3)),

@@ -136,3 +136,94 @@ def test_f32_production_solver_accuracy():
     err = np.abs(np.asarray(s_hi.physics.qpos[:7], np.float64)
                  - np.asarray(s_lo.physics.qpos[:7], np.float64)).max()
     assert err < 5e-4, f"f32 production trajectory error {err}"
+
+
+# ---------------------------------------------------------------------------
+# Lidar self-hit semantics (reference ackermann_robot_v2.xml:21,30,42):
+# MuJoCo rangefinders exclude only the site's body (lidar_360, no geoms), so
+# the oracle tests chassis/wheel geoms.  raycast.raycast_robot implements
+# exactly that; the default scan skips it because self-hit is impossible for
+# this robot in ANY pose (all robot geoms rigid to the chassis).
+# ---------------------------------------------------------------------------
+
+def _pose_qpos(mj, xyz, quat_wxyz, steer=None):
+    q = mj.qpos0.copy()
+    q[0:3] = xyz
+    q[3:7] = quat_wxyz
+    if steer is not None:
+        for j in range(mj.njnt):
+            name = mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_JOINT, j)
+            if name and "steer" in name:
+                q[mj.jnt_qposadr[j]] = steer
+    return q
+
+
+def test_lidar_no_self_hit_any_pose():
+    from mujoco_playground_tpu.physics import raycast
+
+    scene = pointmaze_scene("umaze")
+    spec = ackermann_robot_v2()
+    mj = mujoco.MjModel.from_xml_string(to_mjcf(spec, scene))
+    model = make_model(spec, scene, dtype=jnp.float64)
+    d = mujoco.MjData(mj)
+    c, s = np.cos(np.pi / 8), np.sin(np.pi / 8)
+    poses = [
+        _pose_qpos(mj, [1.0, 1.0, -0.445], [1, 0, 0, 0]),            # nominal
+        _pose_qpos(mj, [1.0, 1.0, -0.445], [1, 0, 0, 0], steer=0.61),
+        _pose_qpos(mj, [1.0, 1.0, -0.445], [1, 0, 0, 0], steer=-0.61),
+        _pose_qpos(mj, [1.0, 1.0, 0.2], [c, s, 0, 0]),               # 45 deg
+        _pose_qpos(mj, [1.0, 1.0, 0.2], [0, 1, 0, 0]),               # flipped
+    ]
+    for q in poses:
+        d.qpos[:] = q
+        mujoco.mj_forward(mj, d)
+        st = make_state(model, qpos=jnp.asarray(d.qpos.copy()))
+        ours = raycast.lidar(model, st.xpos, st.xquat)
+        with_robot = raycast.lidar(model, st.xpos, st.xquat,
+                                   include_robot_geoms=True)
+        rf = np.asarray(d.sensordata[-72:])
+        np.testing.assert_allclose(np.asarray(ours), rf, atol=1e-10)
+        # robot geoms never shadow anything, in any pose
+        np.testing.assert_allclose(np.asarray(with_robot), np.asarray(ours),
+                                   atol=0)
+
+
+def test_lidar_robot_geom_parity_on_intersecting_model():
+    """raycast_robot's mj_ray semantics checked on a robot whose geoms DO
+    cross the beam plane: a tall box mast and a vertical cylinder are added
+    to the chassis, and the include_robot_geoms scan must match MuJoCo's
+    rangefinders over random poses (box + cylinder side/cap coverage)."""
+    import dataclasses
+
+    from mujoco_playground_tpu.physics import raycast
+    from mujoco_playground_tpu.spec.types import GeomSpec
+
+    spec = ackermann_robot_v2()
+    base = spec.body("base")
+    base.geoms.append(GeomSpec(
+        name="mast", type="box", size=(0.02, 0.1, 0.2), pos=(0.2, 0.0, 0.0),
+        contype=2, conaffinity=1, group=2, rgba=(1.0, 0.0, 0.0, 1.0)))
+    base.geoms.append(GeomSpec(
+        name="pole", type="cylinder", size=(0.03, 0.25),
+        pos=(-0.2, 0.05, 0.0), contype=2, conaffinity=1, group=2,
+        rgba=(0.0, 1.0, 0.0, 1.0)))
+    scene = pointmaze_scene("umaze")
+    mj = mujoco.MjModel.from_xml_string(to_mjcf(spec, scene))
+    model = make_model(spec, scene, dtype=jnp.float64)
+    d = mujoco.MjData(mj)
+    rng = np.random.RandomState(11)
+    hits = 0
+    for _ in range(6):
+        quat = rng.randn(4)
+        quat /= np.linalg.norm(quat)
+        d.qpos[:] = _pose_qpos(mj, [1.0, 1.0, 0.3], quat,
+                               steer=rng.uniform(-0.61, 0.61))
+        mujoco.mj_forward(mj, d)
+        st = make_state(model, qpos=jnp.asarray(d.qpos.copy()))
+        ours = raycast.lidar(model, st.xpos, st.xquat,
+                             include_robot_geoms=True)
+        rf = np.asarray(d.sensordata[-72:])
+        np.testing.assert_allclose(np.asarray(ours), rf, atol=1e-10)
+        default = raycast.lidar(model, st.xpos, st.xquat)
+        hits += int((np.asarray(default) != np.asarray(ours)).sum())
+    assert hits > 50   # the added geoms really are in the beam plane
