@@ -19,6 +19,9 @@ class RLConfig:
     collision_threshold: float = 0.15
     max_linear_velocity: float = 1.0
     max_angular_velocity: float = 1.0
+    # Reference-artifact fidelity (PARITY.md): stale-obs step semantics +
+    # the f"lidar-{i}" sensor-name aliasing bug of the reference env.
+    reference_compat: bool = False
 
     # Reward weights (ackermann_env.py:287-301)
     distance_weight: float = -0.1
@@ -42,6 +45,11 @@ class RLConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     normalize_advantage: bool = True
+    # SB3 VecNormalize-equivalent running obs/reward scaling (off in the
+    # reference's shipped run; the standard recipe for actually solving
+    # this reward scale — collision -50/step vs distance -0.1/step)
+    normalize_obs: bool = False
+    normalize_reward: bool = False
 
     # SAC (train.py:108-114)
     sac_learning_rate: float = 3e-4

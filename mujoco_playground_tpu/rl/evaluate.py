@@ -52,9 +52,17 @@ def evaluate_agent(env, policy_fn: Callable, num_episodes: int = 10,
     )
 
 
-def deterministic_policy(network, params):
-    """Greedy (mean) policy, clipped to the action space like the env does."""
+def deterministic_policy(network, params, norm=None):
+    """Greedy (mean) policy, clipped to the action space like the env does.
+
+    ``norm`` (ppo.NormState) applies the same VecNormalize obs scaling the
+    policy trained with — required for policies trained with
+    config.normalize_obs (SB3 users eval through the saved VecNormalize).
+    """
     def policy_fn(obs):
+        if norm is not None:
+            from mujoco_playground_tpu.rl import ppo as _ppo
+            obs = _ppo.normalize_obs(norm, obs)
         mean, _, _ = network.apply(params, obs)
         return jnp.clip(mean, -1.0, 1.0)
     return policy_fn

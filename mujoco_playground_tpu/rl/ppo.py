@@ -40,12 +40,84 @@ class Transition:
 
 
 @struct.dataclass
+class NormState:
+    """Running statistics for SB3 VecNormalize-equivalent normalization.
+
+    Reference users train through `VecNormalize(DummyVecEnv(...))`; here the
+    same running-mean/std obs scaling and running-return reward scaling live
+    in the train state (updated once per rollout with the T*B slab, applied
+    to the *next* rollout — a one-iteration lag that keeps statistics fixed
+    within each rollout, brax-style).
+    """
+    obs_mean: Any      # (obs,)
+    obs_var: Any       # (obs,)
+    ret_mean: Any      # ()  (tracked like SB3; normalization uses var only)
+    ret_var: Any       # ()
+    count: Any         # ()
+    env_returns: Any   # (B,) running discounted return per env
+
+
+def init_norm_state(obs_size: int, num_envs: int) -> NormState:
+    return NormState(
+        obs_mean=jnp.zeros((obs_size,), jnp.float32),
+        obs_var=jnp.ones((obs_size,), jnp.float32),
+        ret_mean=jnp.zeros((), jnp.float32),
+        ret_var=jnp.ones((), jnp.float32),
+        count=jnp.asarray(1e-4, jnp.float32),
+        env_returns=jnp.zeros((num_envs,), jnp.float32))
+
+
+def normalize_obs(norm: NormState, obs):
+    return jnp.clip((obs - norm.obs_mean)
+                    / jnp.sqrt(norm.obs_var + 1e-8), -10.0, 10.0)
+
+
+def normalize_reward(norm: NormState, reward):
+    return jnp.clip(reward / jnp.sqrt(norm.ret_var + 1e-8), -10.0, 10.0)
+
+
+def _update_rms(mean, var, count, batch_mean, batch_var, batch_count):
+    """Chan et al. parallel-variance merge (SB3 RunningMeanStd.update)."""
+    delta = batch_mean - mean
+    tot = count + batch_count
+    new_mean = mean + delta * batch_count / tot
+    m_a = var * count
+    m_b = batch_var * batch_count
+    m2 = m_a + m_b + delta * delta * count * batch_count / tot
+    return new_mean, m2 / tot, tot
+
+
+def update_norm_state(norm: NormState, obs_slab, rewards, done, gamma
+                      ) -> NormState:
+    """Fold a (T, B, obs) obs slab + (T, B) rewards into the statistics."""
+    T, B = rewards.shape
+    flat = obs_slab.reshape(T * B, -1).astype(jnp.float32)
+    om, ov, _ = _update_rms(norm.obs_mean, norm.obs_var, norm.count,
+                            flat.mean(0), flat.var(0),
+                            jnp.asarray(T * B, jnp.float32))
+
+    def body(ret, t):
+        r, d = t
+        ret = ret * gamma * (1.0 - d) + r
+        return ret, ret
+
+    env_ret, rets = jax.lax.scan(
+        body, norm.env_returns, (rewards.astype(jnp.float32), done))
+    rm, rv, cnt = _update_rms(norm.ret_mean, norm.ret_var, norm.count,
+                              rets.mean(), rets.var(),
+                              jnp.asarray(T * B, jnp.float32))
+    return NormState(obs_mean=om, obs_var=ov, ret_mean=rm, ret_var=rv,
+                     count=cnt, env_returns=env_ret)
+
+
+@struct.dataclass
 class TrainState:
     params: Any
     opt_state: Any
     env_states: Any
     rng: Any
     global_step: Any
+    norm: Any = None   # NormState when config.normalize_obs/reward
 
 
 def make_optimizer(config: RLConfig):
@@ -78,11 +150,14 @@ def init_train_state(env, network, config: RLConfig, rng,
         env_states = env_states.replace(steps=jax.random.randint(
             k_stag, (config.num_envs,), 0, env.config.max_episode_steps,
             dtype=env_states.steps.dtype))
+    norm = (init_norm_state(env.obs_size, config.num_envs)
+            if (config.normalize_obs or config.normalize_reward) else None)
     return TrainState(params=params, opt_state=opt_state,
                       env_states=env_states, rng=rng,
                       global_step=jnp.zeros((), jnp.int64)
                       if jax.config.jax_enable_x64
-                      else jnp.zeros((), jnp.int32))
+                      else jnp.zeros((), jnp.int32),
+                      norm=norm)
 
 
 def gae(rewards, values, final_values, terminated, done, gamma, lam):
@@ -125,36 +200,45 @@ def make_train_step(env, network, config: RLConfig) -> Callable:
     tx = make_optimizer(config)
     T = config.unroll_length
     B = config.num_envs
+    use_obs_norm = config.normalize_obs
+    use_rew_norm = config.normalize_reward
 
     def policy_apply(params, obs):
         return network.apply(params, obs)
 
-    def rollout(params, env_states, rng):
+    def rollout(params, norm, env_states, rng):
         """One policy forward per step.  V(final_obs) for the GAE bootstrap
         is NOT computed in-scan (the round-1 version ran a second forward
         every step — VERDICT r1 weak #2); the pre-reset obs is stored and
         all T*B bootstrap values are evaluated afterwards as one batched
         apply, which halves in-rollout policy dispatches and runs the
-        bootstrap matmul at MXU-friendly size."""
+        bootstrap matmul at MXU-friendly size.
+
+        With config.normalize_obs, the policy consumes VecNormalize-style
+        scaled observations (stats in ``norm``, held fixed for the whole
+        rollout); Transitions then store the *normalized* obs so the update
+        phase recomputes identical policy inputs."""
         def body(carry, key):
             states = carry
-            mean, log_std, value = policy_apply(params, states.obs)
+            obs = (normalize_obs(norm, states.obs) if use_obs_norm
+                   else states.obs)
+            mean, log_std, value = policy_apply(params, obs)
             action, logp = networks.sample_action(mean, log_std, key)
             next_states = env.step_autoreset_batch(
                 states, jnp.clip(action, -1.0, 1.0))
             tr = Transition(
-                obs=states.obs, action=action, logp=logp, value=value,
+                obs=obs, action=action, logp=logp, value=value,
                 reward=next_states.reward,
                 terminated=next_states.terminated.astype(jnp.float32),
                 done=next_states.done.astype(jnp.float32),
                 final_obs=next_states.final_obs)
-            return next_states, (tr, next_states.terminated,
+            return next_states, (tr, states.obs, next_states.terminated,
                                  next_states.done, next_states.reward)
 
         keys = jax.random.split(rng, T)
-        env_states, (trs, term, done, rew) = jax.lax.scan(
+        env_states, (trs, raw_obs, term, done, rew) = jax.lax.scan(
             body, env_states, keys)
-        return env_states, trs, dict(
+        return env_states, trs, raw_obs, dict(
             episodes_finished=done.sum(),
             successes=term.sum(),
             mean_reward=rew.mean())
@@ -207,11 +291,15 @@ def make_train_step(env, network, config: RLConfig) -> Callable:
     def rollout_gae(ts: TrainState):
         """Phase 1: collect T x B transitions + advantages/returns."""
         rng, k_roll, k_update = jax.random.split(ts.rng, 3)
-        env_states, trs, roll_metrics = rollout(ts.params, ts.env_states,
-                                                k_roll)
-        _, _, final_values = policy_apply(
-            ts.params, trs.final_obs.reshape((T * B, -1)))
-        advs = gae(trs.reward, trs.value, final_values.reshape((T, B)),
+        env_states, trs, raw_obs, roll_metrics = rollout(
+            ts.params, ts.norm, ts.env_states, k_roll)
+        fobs = trs.final_obs.reshape((T * B, -1))
+        if use_obs_norm:
+            fobs = normalize_obs(ts.norm, fobs)
+        _, _, final_values = policy_apply(ts.params, fobs)
+        rewards = (normalize_reward(ts.norm, trs.reward) if use_rew_norm
+                   else trs.reward)
+        advs = gae(rewards, trs.value, final_values.reshape((T, B)),
                    trs.terminated, trs.done, config.gamma, config.gae_lambda)
         rets = advs + trs.value
         flatten = lambda x: x.reshape((T * B,) + x.shape[2:])
@@ -220,7 +308,11 @@ def make_train_step(env, network, config: RLConfig) -> Callable:
         flat_batch = jax.tree.map(
             flatten, trs.replace(final_obs=jnp.zeros((T, B, 0),
                                                      trs.obs.dtype)))
-        ts = ts.replace(env_states=env_states, rng=rng)
+        norm = ts.norm
+        if use_obs_norm or use_rew_norm:
+            norm = update_norm_state(norm, raw_obs, trs.reward, trs.done,
+                                     config.gamma)
+        ts = ts.replace(env_states=env_states, rng=rng, norm=norm)
         return ts, (flat_batch, flatten(advs), flatten(rets), k_update), \
             roll_metrics
 

@@ -39,7 +39,9 @@ def build_env(config: RLConfig):
         max_linear_velocity=config.max_linear_velocity,
         max_angular_velocity=config.max_angular_velocity,
         goal_distance_threshold=config.goal_distance_threshold,
-        max_episode_steps=config.max_episode_steps)
+        max_episode_steps=config.max_episode_steps,
+        reference_delayed_obs=config.reference_compat,
+        reference_lidar_aliasing=config.reference_compat)
 
 
 def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
@@ -130,7 +132,7 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
                 print(f"  checkpoint -> {path}")
         if gs >= next_eval:
             stats = evaluate_agent(
-                env, deterministic_policy(network, ts.params),
+                env, deterministic_policy(network, ts.params, norm=ts.norm),
                 num_episodes=config.eval_episodes,
                 rng=jax.random.PRNGKey(gs))
             logger.log(gs, {f"eval/{k}": v for k, v in stats.items()})
@@ -219,6 +221,12 @@ def main(argv=None):
     p.add_argument("--minibatches", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--anneal-lr", action="store_true")
+    p.add_argument("--reference-compat", action="store_true",
+                   help="reproduce the reference env's artifacts exactly "
+                        "(stale-obs stepping + lidar name-aliasing bug)")
+    p.add_argument("--normalize", action="store_true",
+                   help="SB3 VecNormalize-equivalent running obs + reward "
+                        "normalization in the PPO learner")
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--resume", action="store_true")
@@ -240,7 +248,8 @@ def main(argv=None):
         num_envs=args.num_envs, unroll_length=args.unroll,
         num_minibatches=args.minibatches, seed=args.seed,
         anneal_lr=args.anneal_lr, gamma=args.gamma, ent_coef=args.ent_coef,
-        log_dir=args.log_dir)
+        normalize_obs=args.normalize, normalize_reward=args.normalize,
+        reference_compat=args.reference_compat, log_dir=args.log_dir)
 
     print("=" * 60)
     print("Ackermann Robot RL Training (TPU)")
@@ -259,7 +268,8 @@ def main(argv=None):
     elif args.algo == "ppo":
         ts, env, network = train_ppo(config, resume=args.resume,
                                      profile_dir=args.profile)
-        stats = evaluate_agent(env, deterministic_policy(network, ts.params),
+        stats = evaluate_agent(env, deterministic_policy(network, ts.params,
+                                                         norm=ts.norm),
                                num_episodes=args.eval_episodes)
         print("\nEvaluation Results:")
         print(f"  Mean Return: {stats['mean_return']:.2f} "

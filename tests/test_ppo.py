@@ -89,3 +89,66 @@ def test_checkpoint_roundtrip(tmp_path, small_setup):
                                              if hasattr(ts.env_states, 'qpos')
                                              else ts.env_states.physics.qpos),
                                   np.asarray(restored.env_states.physics.qpos))
+
+
+def test_running_stats_match_numpy_oracle():
+    """NormState's Chan-merge running mean/var == exact numpy statistics
+    over the concatenation of all folded slabs (SB3 RunningMeanStd
+    semantics), and the return normalizer tracks the discounted running
+    return's variance."""
+    rng = np.random.RandomState(3)
+    T, B, D = 7, 5, 4
+    norm = ppo.init_norm_state(D, B)
+    gamma = 0.9
+    all_obs, all_rets = [], []
+    env_ret = np.zeros(B)
+    for _ in range(3):
+        obs = rng.randn(T, B, D) * 3.0 + 1.5
+        rew = rng.randn(T, B)
+        done = (rng.rand(T, B) < 0.2).astype(np.float32)
+        norm = ppo.update_norm_state(
+            norm, jnp.asarray(obs), jnp.asarray(rew), jnp.asarray(done),
+            gamma)
+        all_obs.append(obs.reshape(-1, D))
+        for t in range(T):
+            env_ret = env_ret * gamma * (1 - done[t]) + rew[t]
+            all_rets.append(env_ret.copy())
+    cat = np.concatenate(all_obs)
+    # count starts at 1e-4 (SB3), so allow that epsilon's worth of slack
+    np.testing.assert_allclose(np.asarray(norm.obs_mean), cat.mean(0),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(norm.obs_var), cat.var(0),
+                               rtol=1e-3, atol=1e-3)
+    rets = np.stack(all_rets)
+    np.testing.assert_allclose(float(norm.ret_var), rets.var(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(norm.env_returns), env_ret,
+                               atol=1e-5)
+    # normalization behaviors
+    z = ppo.normalize_obs(norm, jnp.asarray(cat))
+    assert np.asarray(z).std() < 2.0 and np.abs(np.asarray(z)).max() <= 10.0
+    r = ppo.normalize_reward(norm, jnp.asarray(rng.randn(64) * 100))
+    assert np.abs(np.asarray(r)).max() <= 10.0
+
+
+def test_normalized_train_step_runs_and_normalizes(small_setup):
+    env, network, config, _ = small_setup
+    import dataclasses
+    config = dataclasses.replace(config, normalize_obs=True,
+                                 normalize_reward=True)
+    ts = ppo.init_train_state(env, network, config, jax.random.PRNGKey(1))
+    assert ts.norm is not None
+    train_step = jax.jit(ppo.make_train_step(env, network, config))
+    ts2, metrics = train_step(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"metric {k} not finite"
+    # statistics moved toward the data (obs have nonzero means e.g. lidar)
+    assert float(jnp.abs(ts2.norm.obs_mean).max()) > 0.1
+    assert float(ts2.norm.count) > 1.0
+    ts3, _ = train_step(ts2)
+    assert float(ts3.norm.count) > float(ts2.norm.count)
+    # eval path consumes the same normalization
+    stats = evaluate_agent(
+        env, deterministic_policy(network, ts3.params, norm=ts3.norm),
+        num_episodes=2, rng=jax.random.PRNGKey(0), max_steps=20)
+    assert np.isfinite(stats["mean_return"])
