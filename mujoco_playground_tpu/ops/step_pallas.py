@@ -252,6 +252,9 @@ class _StaticModel:
         self.chassis_box_pos = g(model.chassis_box_pos)
         self.chassis_box_quat = g(model.chassis_box_quat)
         self.chassis_box_size = g(model.chassis_box_size)
+        self.chassis_hull_verts = g(model.chassis_hull_verts)
+        self.chassis_hull_quadrants = model.chassis_hull_quadrants
+        self.chassis_hull_bias = model.chassis_hull_bias
         self.plane_z = float(g(model.plane_z))
         self.plane_friction = g(model.plane_friction)
         self.plane_solref = g(model.plane_solref)
@@ -642,31 +645,41 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
                                   dist=dist, friction=fric, solref=solref,
                                   solimp=solimp, diag=wheel_iw[w], body=b))
 
-    # --- chassis plate corners vs plane (and nearest box) -----------------
-    corner_signs = [[1.0, sy, sz] for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)]
+    # --- chassis convex hulls vs plane (and nearest box) ------------------
+    # Mirrors collision.collide's hull path: the deepest hull vertex per
+    # static xy-quadrant becomes a contact slot.  lax.top_k/argmin over a
+    # gathered subset is not available on lanes inside the kernel, so a
+    # running where-chain insertion (_keep_deepest with K=1 per quadrant)
+    # computes the same selection.
     for i, b in enumerate(sm.chassis_box_body):
-        Rq = qmat(qmul(xquat[b], [float(v) for v in sm.chassis_box_quat[i]]))
-        center = v3add(xpos[b], qrot(xquat[b],
-                                     [float(v)
-                                      for v in sm.chassis_box_pos[i]]))
-        size = [float(v) for v in sm.chassis_box_size[i]]
-        corners = []
-        for sgns in corner_signs:
-            local = [sgns[k] * size[k] for k in range(3)]
-            corners.append(v3add(center, [
-                sadd(*[smul(Rq[r][k], local[k]) for k in range(3)])
+        Rb = qmat(xquat[b])
+        verts = []
+        for v in sm.chassis_hull_verts[i]:
+            local = [float(v[0]), float(v[1]), float(v[2])]
+            verts.append(v3add(xpos[b], [
+                sadd(*[smul(Rb[r][k], local[k]) for k in range(3)])
                 for r in range(3)]))
         fric = max(float(sm.plane_friction[0]), 1.0)
         solref = [float(v) for v in sm.plane_solref]
         solimp = [float(v) for v in sm.plane_solimp]
-        for p in corners:
+
+        bias = [float(x) for x in sm.chassis_hull_bias[i]]
+        cands = []
+        for kv, p in enumerate(verts):
             dist = ssub(p[2], sm.plane_z)
-            slots.append(dict(pos=[p[0], p[1],
-                                   ssub(p[2], smul(0.5, dist))],
-                              frame=plane_frame, dist=dist, friction=fric,
+            cands.append(dict(score=ssub(dist, bias[kv]), dist=dist,
+                              pos=[p[0], p[1],
+                                   ssub(p[2], smul(0.5, dist))]))
+        for q in sm.chassis_hull_quadrants[i]:
+            kept = _keep_deepest([cands[k] for k in q], 1, B, dtype)[0]
+            slots.append(dict(pos=kept["pos"], frame=plane_frame,
+                              dist=kept["dist"], friction=fric,
                               solref=solref, solimp=solimp,
                               diag=chassis_iw[i], body=b))
         if sm.num_scene_boxes > 0:
+            center = v3add(xpos[b], qrot(xquat[b],
+                                         [float(v)
+                                          for v in sm.chassis_box_pos[i]]))
             INF = 1e30
             nb = dict(d2=jnp.full((B,), INF, dtype),
                       bp=[jnp.zeros((B,), dtype)] * 3,
@@ -683,12 +696,47 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
                               for kk in range(3)],
                           bs=[jnp.where(isb, bs[kk], nb["bs"][kk])
                               for kk in range(3)])
-            for p in corners:
+            cands = []
+            for kv, p in enumerate(verts):
                 dist, n, cp = _point_box_lanes(p, nb["bp"], nb["bs"])
-                slots.append(dict(pos=cp, frame=_make_frame_lanes(n),
-                                  dist=dist, friction=fric, solref=solref,
-                                  solimp=solimp, diag=chassis_iw[i], body=b))
+                cands.append(dict(score=ssub(dist, bias[kv]), dist=dist,
+                                  pos=cp, n=n))
+            for q in sm.chassis_hull_quadrants[i]:
+                kept = _keep_deepest([cands[k] for k in q], 1, B, dtype)[0]
+                slots.append(dict(pos=kept["pos"],
+                                  frame=_make_frame_lanes(kept["n"]),
+                                  dist=kept["dist"], friction=fric,
+                                  solref=solref, solimp=solimp,
+                                  diag=chassis_iw[i], body=b))
     return slots
+
+
+def _keep_deepest(cands, K, B, dtype):
+    """Running top-K by smallest ``score`` over candidate dicts of lanes.
+
+    Insertion pass per candidate: swap with each kept slot when deeper
+    (keeps the slots sorted ascending by score).  Payload = every dict key;
+    3-vectors are lists of lanes.
+    """
+    INF = 1e30
+    def blank(c):
+        return {k: (jnp.full((B,), INF, dtype) if k in ("dist", "score")
+                    else [jnp.zeros((B,), dtype)] * len(c[k]))
+                for k in c}
+
+    def sel(cond, a_, b_):
+        if isinstance(a_, list):
+            return [jnp.where(cond, a_[j], b_[j]) for j in range(len(a_))]
+        return jnp.where(cond, a_, b_)
+
+    kept = [blank(cands[0]) for _ in range(K)]
+    for c in cands:
+        for r in range(K):
+            better = c["score"] < kept[r]["score"]
+            new_r = {k: sel(better, c[k], kept[r][k]) for k in c}
+            c = {k: sel(better, kept[r][k], c[k]) for k in c}
+            kept[r] = new_r
+    return kept
 
 
 # --- efc assembly on lanes -------------------------------------------------

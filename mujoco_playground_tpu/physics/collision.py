@@ -9,17 +9,19 @@ masking (ackermann_robot_v2.xml:21,30,42: floor<->{chassis,wheels} and
 scene-box<->{chassis,wheels} only; no self-collision).
 
 Slot layout (C = total contact slots):
-  [4 wheels x 2 rim contacts vs plane]          -> 8
-  [4 wheels x TOPK_W boxes, sphere approx]      -> 4*TOPK_W   (if boxes)
-  [2 chassis plates x 8 corners vs plane]       -> 16
-  [2 chassis plates x 8 corners vs top-1 box]   -> 16         (if boxes)
+  [4 wheels x 2 rim contacts vs plane]               -> 8
+  [4 wheels x TOPK_W boxes, sphere approx]           -> 4*TOPK_W  (if boxes)
+  [2 chassis hulls x TOPK_H deepest verts vs plane]  -> 8
+  [2 chassis hulls x TOPK_H deepest verts vs box]    -> 8         (if boxes)
 
 Wheel-vs-plane reproduces MuJoCo's cylinder-plane rim contacts (two contact
 points at the rim-circle bottoms, position at the penetration midpoint —
 verified against mj contact dumps).  Wheel-vs-box uses a sphere approximation
-(wheel half-width 0.01 << radius 0.0325), and chassis plates collide through
-their corner points — documented approximations; the lidar collision
-penalty (0.15 m) triggers well before chassis contact in normal operation.
+(wheel half-width 0.01 << radius 0.0325).  The chassis collides through the
+convex-hull vertices of its reference meshes (spec/robot.py) — against the
+plane this is MuJoCo's own plane-convex candidate set; the lidar collision
+penalty (0.15 m) still triggers well before chassis contact in normal
+operation.
 """
 from __future__ import annotations
 
@@ -34,6 +36,9 @@ from mujoco_playground_tpu.physics import mathutil as mu
 from mujoco_playground_tpu.physics.model import Model
 
 TOPK_W = 2  # boxes tested per wheel
+TOPK_H = 4  # hull-vertex contacts per chassis-geom pair: the deepest vertex
+            # in each body-frame-xy quadrant (MuJoCo's plane-convex and
+            # box-convex manifolds are <=4 spread points)
 
 
 @struct.dataclass
@@ -141,24 +146,35 @@ def collide(model: Model, xpos, xquat) -> Contacts:
                 diag_l.append(wheel_iw[w])
                 body_l.append(b)
 
-    # --- chassis plate corners vs plane (and top-1 box) ---------------------
-    # The proxies are thin plates (4 mm along their local x); the two corner
-    # pairs across the thin axis are nearly coincident, so one x-side's 4
-    # corners suffice — halves the contact rows for free.
-    corner_signs = np.array([[1, sy, sz] for sy in (-1, 1)
-                             for sz in (-1, 1)], dtype=np.float64)
+    # --- chassis convex hulls vs plane (and top-1 box) -----------------------
+    # Each chassis geom carries the convex-hull vertex cloud of its reference
+    # mesh (spec/robot.py _BASE_HULL/_CEILING_HULL, body frame).  Against the
+    # plane, deep hull vertices ARE MuJoCo's plane-convex contact candidates
+    # (engine_collision_convex.c); against the nearest box they approximate
+    # the CCD manifold.  One deepest vertex PER static body-frame-xy
+    # quadrant (model.chassis_hull_quadrants) — rather than a global top-k —
+    # so flat/edge contact patches get a SPANNING 4-point manifold like
+    # MuJoCo's (global top-k picks adjacent tied vertices along one edge,
+    # which cannot balance the support polygon).  Slot count per pair stays
+    # TOPK_H = 4, matching the old 4-corner plates.
     for i in range(len(model.chassis_box_body)):
         b = model.chassis_box_body[i]
-        R = mu.quat_to_mat(mu.quat_mul(xquat[b], model.chassis_box_quat[i]))
-        center = xpos[b] + mu.quat_rotate(xquat[b], model.chassis_box_pos[i])
-        corners = center + (jnp.asarray(corner_signs, dtype)
-                            * model.chassis_box_size[i]) @ R.T
+        Rb = mu.quat_to_mat(xquat[b])
+        verts = (xpos[b]
+                 + jnp.asarray(model.chassis_hull_verts[i], dtype) @ Rb.T)
+        quads = [np.asarray(q, np.int32)
+                 for q in model.chassis_hull_quadrants[i]]
+        bias = jnp.asarray(model.chassis_hull_bias[i], dtype)
         fric = jnp.maximum(model.plane_friction[0],
                            jnp.asarray(1.0, dtype))
         solref, solimp = model.plane_solref, model.plane_solimp
-        for k in range(len(corner_signs)):
-            p = corners[k]
-            dist = p[2] - model.plane_z
+        dists = verts[:, 2] - model.plane_z
+        score = dists - bias
+        for q in quads:
+            sub = dists[q]
+            k = jnp.argmin(score[q])
+            p = verts[q][k]
+            dist = sub[k]
             pos_l.append(p - 0.5 * dist * zhat)
             frame_l.append(_make_frame(zhat))
             dist_l.append(dist)
@@ -168,15 +184,20 @@ def collide(model: Model, xpos, xquat) -> Contacts:
             diag_l.append(chassis_iw[i])
             body_l.append(b)
         if model.num_scene_boxes > 0:
+            center = xpos[b] + mu.quat_rotate(xquat[b],
+                                              model.chassis_box_pos[i])
             d2 = jnp.sum((model.scene_box_pos - center) ** 2, axis=-1)
             j = jnp.argmin(d2)
             bp = model.scene_box_pos[j]
             bs = model.scene_box_size[j]
-            for k in range(len(corner_signs)):
-                dist, n, p = _point_box(corners[k], bp, bs, dtype)
-                pos_l.append(p)
-                frame_l.append(_make_frame(n))
-                dist_l.append(dist)
+            bdist, bn, bpos = jax.vmap(
+                lambda v: _point_box(v, bp, bs, dtype))(verts)
+            bscore = bdist - bias
+            for q in quads:
+                k = jnp.argmin(bscore[q])
+                pos_l.append(bpos[q][k])
+                frame_l.append(_make_frame(bn[q][k]))
+                dist_l.append(bdist[q][k])
                 fric_l.append(fric)
                 solref_l.append(solref)
                 solimp_l.append(solimp)

@@ -175,12 +175,17 @@ def make_efc(model: Model, qpos, qvel, S, mask, anchor,
                       vn + mu_ * vt2, vn - mu_ * vt2], axis=-1)
     aref4 = -bcoef[:, None] * vel4 - (kcoef * contacts.dist)[:, None]
 
+    def stk(xs):
+        # models with no equality/friction/limit rows (e.g. a bare free
+        # body) produce zero joint rows
+        return jnp.stack(xs) if xs else jnp.zeros((0,), dtype)
+
     return Efc(
         j_dof1=np.asarray(dof1_l, np.int32),
         j_dof2=np.asarray(dof2_l, np.int32),
-        j_coef1=jnp.stack(c1_l), j_coef2=jnp.stack(c2_l),
-        j_aref=jnp.stack(aref_l), j_R=jnp.stack(R_l),
-        j_floss=jnp.stack(fl_l), j_active=jnp.stack(act_l),
+        j_coef1=stk(c1_l), j_coef2=stk(c2_l),
+        j_aref=stk(aref_l), j_R=stk(R_l),
+        j_floss=stk(fl_l), j_active=stk(act_l),
         j_kind=np.asarray(kind_l, np.int32),
         c_Jn=Jn, c_Jt1=Jt1, c_Jt2=Jt2, c_aref=aref4, c_R=Rrow, c_mu=mu_,
         c_active=act)

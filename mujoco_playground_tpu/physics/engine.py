@@ -26,6 +26,8 @@ from mujoco_playground_tpu.physics.state import State
 
 def actuator_force(model: Model, qpos, qvel, ctrl):
     """Affine actuator model: clip(gain*ctrl + b0 + b1*q + b2*qdot, forcerange)."""
+    if len(model.actuator_dof) == 0:
+        return jnp.zeros(model.nv, qpos.dtype)
     ctrl = jnp.clip(ctrl, model.actuator_ctrlrange[:, 0],
                     model.actuator_ctrlrange[:, 1])
     dof = np.asarray(model.actuator_dof)

@@ -71,6 +71,16 @@ class Model:
     # collision topology: wheel cylinders + chassis proxy boxes
     wheel_body: Tuple[int, ...] = struct.field(pytree_node=False)
     chassis_box_body: Tuple[int, ...] = struct.field(pytree_node=False)
+    # static body-frame-xy quadrant partition of each chassis hull's
+    # vertices (4 index tuples per geom); the narrowphase keeps the deepest
+    # vertex PER QUADRANT so flat/edge contact manifolds span the patch
+    # (a plain global top-k picks adjacent tied vertices along one edge)
+    chassis_hull_quadrants: Tuple[Tuple[Tuple[int, ...], ...], ...] = \
+        struct.field(pytree_node=False)
+    # per-vertex selection bias toward xy-extreme vertices (breaks flat-
+    # contact depth ties so the kept manifold spans the support polygon)
+    chassis_hull_bias: Tuple[Tuple[float, ...], ...] = \
+        struct.field(pytree_node=False)
     num_scene_boxes: int = struct.field(pytree_node=False)
     # solver
     solver_iterations: int = struct.field(pytree_node=False)
@@ -113,6 +123,11 @@ class Model:
     chassis_box_pos: Any       # (nbox_r, 3)
     chassis_box_quat: Any      # (nbox_r, 4)
     chassis_box_size: Any      # (nbox_r, 3)
+    # convex-hull vertex cloud per chassis geom, BODY frame (mesh hulls when
+    # the spec bakes them, else the proxy box's 8 corners; padded to a common
+    # V with the cloud's centroid — strictly interior, never the deepest
+    # vertex against a plane)
+    chassis_hull_verts: Any    # (nbox_r, V, 3)
     # scene
     plane_z: Any               # scalar
     plane_half_size: Any       # (2,) x/y half extents; <=0 => infinite
@@ -296,6 +311,47 @@ def _combine_inertials(inertials):
     return total_mass, com, quat, evals
 
 
+_HULL_SPREAD_EPS = 1e-3  # m of depth preference per m of xy extremity
+
+
+def _hull_quadrants(hull):
+    """Partition vertex indices into 4 body-frame-xy quadrants around the
+    cloud centroid; an empty quadrant falls back to the full index set (its
+    pick then duplicates the global deepest vertex, which is harmless)."""
+    c = hull[:, :2].mean(axis=0)
+    quads = [[], [], [], []]
+    for k, v in enumerate(hull):
+        quads[(0 if v[0] >= c[0] else 2) + (0 if v[1] >= c[1] else 1)].append(k)
+    return tuple(tuple(q) if q else tuple(range(len(hull))) for q in quads)
+
+
+def _hull_spread_bias(hull):
+    """Per-vertex depth-selection bias: prefer xy-extreme vertices among
+    near-tied depths (flat contact ties in a quadrant would otherwise pick
+    an arbitrary vertex near the quadrant boundary, collapsing the support
+    polygon).  The bias (~0.1 mm at this chassis scale) only reorders
+    depths closer than eps*extremity; any real tilt separates candidate
+    depths by far more (1 deg over a 0.1 m lever is 1.7 mm)."""
+    c = hull[:, :2].mean(axis=0)
+    r = np.linalg.norm(hull[:, :2] - c, axis=-1)
+    return tuple(float(x) for x in (_HULL_SPREAD_EPS * r))
+
+
+def _pad_hulls(hulls):
+    """Per-geom vertex clouds padded to a common V with their centroid
+    (strictly interior, so padding never becomes the deepest vertex
+    against a plane or box face)."""
+    vmax = max(h.shape[0] for h in hulls)
+    out = []
+    for h in hulls:
+        if h.shape[0] < vmax:
+            pad = np.repeat(h.mean(axis=0, keepdims=True),
+                            vmax - h.shape[0], axis=0)
+            h = np.concatenate([h, pad], axis=0)
+        out.append(h)
+    return out
+
+
 def make_model(spec: st.ModelSpec,
                scene: Optional[SceneSpec] = None,
                dtype=jnp.float32,
@@ -328,6 +384,7 @@ def make_model(spec: st.ModelSpec,
     wheel_body, wheel_pos, wheel_axis, wheel_size = [], [], [], []
     wheel_friction, wheel_solref, wheel_solimp = [], [], []
     cbox_body, cbox_pos, cbox_quat, cbox_size = [], [], [], []
+    cbox_hull = []
 
     for name in order:
         i = body_index[name]
@@ -391,9 +448,27 @@ def make_model(spec: st.ModelSpec,
                 cbox_pos.append(np.asarray(g.pos))
                 cbox_quat.append(np.asarray(g.quat))
                 cbox_size.append(np.asarray(g.size))
+                if g.hull is not None:
+                    cbox_hull.append(np.asarray(g.hull, dtype=np.float64))
+                else:
+                    # box corners as the vertex cloud (body frame)
+                    w_, x_, y_, z_ = g.quat
+                    Rg = np.array([
+                        [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_),
+                         2 * (x_ * z_ + w_ * y_)],
+                        [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_),
+                         2 * (y_ * z_ - w_ * x_)],
+                        [2 * (x_ * z_ - w_ * y_), 2 * (y_ * z_ + w_ * x_),
+                         1 - 2 * (x_ * x_ + y_ * y_)]])
+                    signs = np.array([[sx, sy, sz] for sx in (-1, 1)
+                                      for sy in (-1, 1) for sz in (-1, 1)],
+                                     dtype=np.float64)
+                    cbox_hull.append(np.asarray(g.pos)
+                                     + (signs * np.asarray(g.size)) @ Rg.T)
 
     nq, nv = len(qpos0), len(dof_body)
     njnt = len(jnt_names)
+    cbox_hull_padded = _pad_hulls(cbox_hull) if cbox_hull else []
 
     # plane from spec world geoms (fall back to scene floor_z)
     plane_z = scene.floor_z
@@ -474,6 +549,10 @@ def make_model(spec: st.ModelSpec,
         eq_dof_pairs=tuple(eq_pairs),
         limited_dofs=limited_dofs, friction_dofs=friction_dofs,
         wheel_body=tuple(wheel_body), chassis_box_body=tuple(cbox_body),
+        chassis_hull_quadrants=tuple(_hull_quadrants(h)
+                                     for h in cbox_hull_padded),
+        chassis_hull_bias=tuple(_hull_spread_bias(h)
+                                for h in cbox_hull_padded),
         num_scene_boxes=int(scene.num_boxes),
         solver_iterations=solver_iterations, ls_iterations=ls_iterations,
         body_pos=arr(body_pos), body_quat=arr(body_quat),
@@ -509,6 +588,8 @@ def make_model(spec: st.ModelSpec,
         chassis_box_pos=arr(np.stack(cbox_pos)) if cbox_pos else arr(np.zeros((0, 3))),
         chassis_box_quat=arr(np.stack(cbox_quat)) if cbox_pos else arr(np.zeros((0, 4))),
         chassis_box_size=arr(np.stack(cbox_size)) if cbox_pos else arr(np.zeros((0, 3))),
+        chassis_hull_verts=arr(np.stack(cbox_hull_padded)) if cbox_hull
+        else arr(np.zeros((0, 8, 3))),
         plane_z=arr(plane_z), plane_half_size=arr(plane_half_size),
         plane_friction=arr(plane_friction),
         plane_solref=arr(plane_solref), plane_solimp=arr(plane_solimp),

@@ -59,6 +59,91 @@ _CEILING_INERTIAL = InertialSpec(
 _BASE_AABB = ((0.0, 0.000195, -0.013572), (0.002, 0.075009, 0.137506))
 _CEILING_AABB = ((-0.0, -0.001156, -0.017919), (0.002, 0.075415, 0.137765))
 
+# Convex-hull vertices of each chassis mesh, expressed in the CHASSIS BODY
+# frame (geom_pos + R(geom_quat) @ mesh_vert over the hull vertices of
+# MuJoCo's compiled mesh — exactly the vertex set MuJoCo's convex collider
+# uses for these geoms).  Baked like the inertials: extracted once from
+# ``mujoco.MjModel.from_xml_path`` on the reference XML
+# (models/ackermann_robot_v2.xml:29,34) so collision geometry matches the
+# reference meshes without shipping the STL assets.  Both plates are 4 mm
+# thick with chamfered front corners (36 hull vertices each).
+_BASE_HULL = (
+    (0.10092214, 0.07373521, -0.03000000),
+    (0.10092214, 0.07373521, -0.02600000),
+    (0.10255926, 0.07295260, -0.03000000),
+    (0.10255926, 0.07295260, -0.02600000),
+    (0.14849879, 0.03620098, -0.03000000),
+    (0.14930727, 0.03532738, -0.03000000),
+    (0.14982289, 0.03425456, -0.03000000),
+    (0.15000001, 0.03307750, -0.03000000),
+    (0.15000001, -0.03307750, -0.03000000),
+    (0.14849878, -0.03620098, -0.03000000),
+    (0.10255926, -0.07295260, -0.03000000),
+    (0.14982289, -0.03425455, -0.03000000),
+    (0.14930727, -0.03532738, -0.03000000),
+    (0.10092213, -0.07373521, -0.03000000),
+    (0.04327947, -0.07500000, -0.03000000),
+    (-0.10149999, -0.07500001, -0.03000000),
+    (-0.12500000, -0.07500000, -0.03000000),
+    (-0.12500000, 0.07500000, -0.03000000),
+    (-0.09850000, 0.07500000, -0.03000000),
+    (0.04327947, 0.07500000, -0.03000000),
+    (0.04327947, 0.07500000, -0.02600000),
+    (-0.09850000, 0.07500000, -0.02600000),
+    (0.04327947, -0.07500000, -0.02600000),
+    (0.14849879, 0.03620098, -0.02600000),
+    (0.14930727, 0.03532738, -0.02600000),
+    (0.14982289, 0.03425456, -0.02600000),
+    (0.15000001, 0.03307750, -0.02600000),
+    (0.15000001, -0.03307750, -0.02600000),
+    (0.14982289, -0.03425455, -0.02600000),
+    (0.14930727, -0.03532738, -0.02600000),
+    (0.14849878, -0.03620098, -0.02600000),
+    (0.10255926, -0.07295260, -0.02600000),
+    (0.10092213, -0.07373521, -0.02600000),
+    (-0.12500000, 0.07500000, -0.02600000),
+    (-0.10149999, -0.07500001, -0.02600000),
+    (-0.12500000, -0.07500000, -0.02600000),
+)
+_CEILING_HULL = (
+    (0.10092213, 0.07373521, -0.01000000),
+    (0.10092213, 0.07373521, -0.00600000),
+    (0.10255926, 0.07295260, -0.01000000),
+    (0.10255926, 0.07295260, -0.00600000),
+    (0.14849879, 0.03620098, -0.01000000),
+    (0.14930727, 0.03532738, -0.01000000),
+    (0.14982289, 0.03425455, -0.01000000),
+    (0.15000001, 0.03307750, -0.01000000),
+    (0.15000001, -0.03307750, -0.01000000),
+    (0.14849879, -0.03620098, -0.01000000),
+    (0.14982289, -0.03425456, -0.01000000),
+    (0.14930727, -0.03532738, -0.01000000),
+    (0.10255926, -0.07295260, -0.01000000),
+    (0.10092214, -0.07373520, -0.01000000),
+    (0.04327947, -0.07500001, -0.01000000),
+    (-0.12500000, -0.07500000, -0.01000000),
+    (-0.12500000, 0.07500000, -0.01000000),
+    (-0.10150000, -0.07500000, -0.01000000),
+    (0.03538468, 0.07500000, -0.01000000),
+    (0.04327947, 0.07500000, -0.01000000),
+    (0.04327947, 0.07500000, -0.00600000),
+    (0.03538468, 0.07500000, -0.00600000),
+    (0.04327947, -0.07500001, -0.00600000),
+    (0.14849879, 0.03620098, -0.00600000),
+    (0.14930727, 0.03532738, -0.00600000),
+    (0.14982289, 0.03425455, -0.00600000),
+    (0.15000001, 0.03307750, -0.00600000),
+    (0.15000001, -0.03307750, -0.00600000),
+    (0.14982289, -0.03425456, -0.00600000),
+    (0.14930727, -0.03532738, -0.00600000),
+    (0.14849879, -0.03620098, -0.00600000),
+    (0.10255926, -0.07295260, -0.00600000),
+    (0.10092214, -0.07373520, -0.00600000),
+    (-0.10150000, -0.07500000, -0.00600000),
+    (-0.12500000, -0.07500000, -0.00600000),
+    (-0.12500000, 0.07500000, -0.00600000),
+)
+
 WHEEL_RADIUS = 0.0325
 WHEEL_HALF_WIDTH = 0.01
 WHEELBASE = 0.20       # front-to-rear axle distance (x = ±0.10)
@@ -94,11 +179,15 @@ def _steer_joint(name: str) -> JointSpec:
                      damping=0.25, frictionloss=0.005)
 
 
-def _mesh_proxy_geom(name: str, inertial: InertialSpec, aabb) -> GeomSpec:
-    """Axis-aligned box proxy for a chassis mesh, placed at the mesh AABB.
+def _mesh_proxy_geom(name: str, inertial: InertialSpec, aabb,
+                     hull=None) -> GeomSpec:
+    """Box-typed proxy for a chassis mesh carrying its convex-hull vertices.
 
     MuJoCo re-centers mesh geoms at their inertial frame; the proxy box is the
-    mesh's AABB transformed into the chassis body frame.
+    mesh's AABB transformed into the chassis body frame (used for MJCF export
+    and raycast OBB tests).  ``hull`` attaches the mesh's convex-hull vertex
+    cloud (body frame) — the engine's narrowphase collides those vertices,
+    matching MuJoCo's convex collider for these geoms.
     """
     center, half = np.asarray(aabb[0]), np.asarray(aabb[1])
     w, x, y, z = inertial.quat
@@ -111,7 +200,7 @@ def _mesh_proxy_geom(name: str, inertial: InertialSpec, aabb) -> GeomSpec:
     return GeomSpec(
         name=name, type="box", size=tuple(half), pos=tuple(pos),
         quat=inertial.quat, contype=2, conaffinity=1, group=2,
-        rgba=(0.2, 0.8, 0.8, 1.0),
+        rgba=(0.2, 0.8, 0.8, 1.0), hull=hull,
     )
 
 
@@ -199,10 +288,12 @@ def ackermann_robot_v2(floor: bool = True) -> ModelSpec:
 
     spec.bodies.append(BodySpec(
         name="base", parent="chassis", inertial=_BASE_INERTIAL,
-        geoms=[_mesh_proxy_geom("chassis", _BASE_INERTIAL, _BASE_AABB)]))
+        geoms=[_mesh_proxy_geom("chassis", _BASE_INERTIAL, _BASE_AABB,
+                                hull=_BASE_HULL)]))
     spec.bodies.append(BodySpec(
         name="ceiling", parent="chassis", inertial=_CEILING_INERTIAL,
-        geoms=[_mesh_proxy_geom("ceiling", _CEILING_INERTIAL, _CEILING_AABB)]))
+        geoms=[_mesh_proxy_geom("ceiling", _CEILING_INERTIAL, _CEILING_AABB,
+                                hull=_CEILING_HULL)]))
 
     wheel_inertial = InertialSpec(mass=0.05, diaginertia=(1e-4, 1e-4, 1e-4))
     spec.bodies.append(BodySpec(

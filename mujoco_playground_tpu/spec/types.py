@@ -67,6 +67,11 @@ class GeomSpec:
     margin: float = 0.0
     rgba: Tuple[float, float, float, float] = (0.5, 0.5, 0.5, 1.0)
     group: int = 0
+    # Convex-hull vertex cloud in the BODY frame for mesh-proxy geoms (the
+    # narrowphase collides these vertices; pos/quat/size still describe the
+    # box used for MJCF export and raycast OBB tests).  None => derive the
+    # cloud from the box's 8 corners.
+    hull: Optional[Tuple[Tuple[float, float, float], ...]] = None
 
 
 @dataclasses.dataclass
