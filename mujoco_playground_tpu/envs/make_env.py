@@ -35,21 +35,30 @@ def make_ackermann_env(env_type: str = "maze",
         mix 0/1 with 'r'/'g'/'c' markers) overriding `maze_id`'s layout.
         Unknown `maze_id`s resolve through the gymnasium registry
         (spec.scene.registry_maze_map).
+      **kwargs: EnvConfig fields, plus AckermannEnv construction knobs
+        (solver_iterations, ls_iterations).  Unknown names raise — a typo'd
+        config key silently doing nothing is worse than an error.
     """
+    env_kwargs = {k: kwargs.pop(k) for k in ("solver_iterations",
+                                             "ls_iterations") if k in kwargs}
+    unknown = [k for k in kwargs if k not in EnvConfig.__annotations__]
+    if unknown:
+        raise TypeError(f"make_ackermann_env: unknown kwargs {unknown}")
     config = EnvConfig(
         max_linear_velocity=max_linear_velocity,
         max_angular_velocity=max_angular_velocity,
         goal_distance_threshold=goal_distance_threshold,
         max_episode_steps=max_episode_steps,
-        **{k: v for k, v in kwargs.items() if k in EnvConfig.__annotations__})
+        **kwargs)
     if env_type == "maze":
         scene = pointmaze_scene(maze_id, maze_map=maze_map)
-        return AckermannEnv(scene=scene, config=config, dtype=dtype)
+        return AckermannEnv(scene=scene, config=config, dtype=dtype,
+                            **env_kwargs)
     if env_type == "simple":
-        return AckermannEnv(config=config, dtype=dtype)
+        return AckermannEnv(config=config, dtype=dtype, **env_kwargs)
     if env_type == "maze_flat":
         return AckermannEnv(scene=maze_flat_scene(), config=config,
-                            dtype=dtype)
+                            dtype=dtype, **env_kwargs)
     raise ValueError(
         f"Unknown env_type {env_type!r} (expected 'maze', 'simple', or "
         f"'maze_flat')")

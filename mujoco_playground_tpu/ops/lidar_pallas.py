@@ -100,9 +100,11 @@ def build_lidar_fn(model, block_b: int = BLOCK_B, interpret: bool = False):
     The model must be concrete (static geometry baked into the kernel).
     B % block_b == 0.
     """
+    # the cached entry retains the model: id() keys are only unique while
+    # the object is alive (a GC'd model's id could be reused)
     key = (id(model), block_b, interpret)
     if key in _BUILD_CACHE:
-        return _BUILD_CACHE[key]
+        return _BUILD_CACHE[key][1]
 
     site_body = tuple(int(b) for b in np.asarray(model.site_body))
     site_pos = np.asarray(model.site_pos, np.float64)
@@ -144,5 +146,5 @@ def build_lidar_fn(model, block_b: int = BLOCK_B, interpret: bool = False):
         )(xpos_n, xquat_n)
         return out.T
 
-    _BUILD_CACHE[key] = lidar
+    _BUILD_CACHE[key] = (model, lidar)
     return lidar

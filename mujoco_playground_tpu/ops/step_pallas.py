@@ -964,9 +964,13 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
     concrete (not traced) — engine.step_batch falls back to the XLA path
     otherwise.
     """
+    # the cached entry retains the model: id() keys are only unique while
+    # the object is alive, so without the strong ref a GC'd model's id
+    # could be reused and silently return a kernel baked with different
+    # geometry
     key = (id(model), iterations, ls_iterations, block_b, interpret)
     if key in _BUILD_CACHE:
-        return _BUILD_CACHE[key]
+        return _BUILD_CACHE[key][1]
 
     sm = _StaticModel(model)
     kernel = functools.partial(_step_kernel, sm, iterations, ls_iterations,
@@ -998,7 +1002,7 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
         xquat = jnp.moveaxis(xquat_n.reshape(sm.nbody, 4, B), -1, 0)
         return qpos_n.T, qvel_n.T, xpos, xquat
 
-    _BUILD_CACHE[key] = step
+    _BUILD_CACHE[key] = (model, step)
     return step
 
 

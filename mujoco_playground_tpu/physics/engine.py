@@ -126,8 +126,13 @@ def step_batch(model: Model, states: State,
 
     B = states.qpos.shape[0]
     on_tpu = jax.devices()[0].platform != "cpu"
+    # a model with zero joint constraint rows (bare free body: no equality/
+    # friction/limit rows) is handled by the XLA path below; the megakernel
+    # stacks per-row lanes and requires nj >= 1
+    has_joint_rows = (len(model.eq_dof_pairs) + len(model.friction_dofs)
+                      + 2 * len(model.limited_dofs)) > 0
     if (on_tpu and base_model is None and B % step_pallas.BLOCK_B == 0
-            and step_pallas.is_concrete_model(model)):
+            and has_joint_rows and step_pallas.is_concrete_model(model)):
         fn = step_pallas.build_step_fn(model, model.solver_iterations,
                                        model.ls_iterations)
         qpos_n, qvel_n, xpos_n, xquat_n = fn(states.qpos, states.qvel,

@@ -20,6 +20,9 @@ except ImportError:  # pragma: no cover
     _HAS_ORBAX = False
 
 
+_SAVED_THIS_PROCESS = set()
+
+
 def save_checkpoint(path: str, train_state, step: int) -> str:
     """Save train state at `path/step`. Returns the checkpoint dir."""
     path = os.path.abspath(path)
@@ -27,13 +30,19 @@ def save_checkpoint(path: str, train_state, step: int) -> str:
     if _HAS_ORBAX:
         ckpt = ocp.StandardCheckpointer()
         target = os.path.join(path, f"step_{step:010d}")
-        if os.path.isdir(target):
-            # Idempotent per step: the end-of-training save can land on the
-            # same global_step as the last periodic save (orbax refuses to
-            # overwrite an existing destination).
+        if target in _SAVED_THIS_PROCESS:
+            # Idempotent per step WITHIN a run: the end-of-training save can
+            # land on the same global_step as the last periodic save (orbax
+            # refuses to overwrite an existing destination).
             return target
+        if os.path.isdir(target):
+            # Leftover from a PREVIOUS run in the same log dir — silently
+            # keeping its stale weights would corrupt a later resume.
+            import shutil
+            shutil.rmtree(target)
         ckpt.save(target, jax.device_get(train_state))
         ckpt.wait_until_finished()
+        _SAVED_THIS_PROCESS.add(target)
         return target
     # Fallback: flat npz of leaves
     leaves, treedef = jax.tree.flatten(jax.device_get(train_state))

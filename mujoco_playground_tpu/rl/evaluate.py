@@ -56,8 +56,10 @@ def deterministic_policy(network, params, norm=None):
     """Greedy (mean) policy, clipped to the action space like the env does.
 
     ``norm`` (ppo.NormState) applies the same VecNormalize obs scaling the
-    policy trained with — required for policies trained with
+    policy trained with — pass it for (and ONLY for) policies trained with
     config.normalize_obs (SB3 users eval through the saved VecNormalize).
+    A reward-only NormState still carries obs statistics; feeding scaled
+    obs to a policy trained on raw ones would corrupt the eval.
     """
     def policy_fn(obs):
         if norm is not None:

@@ -97,9 +97,11 @@ def update_norm_state(norm: NormState, obs_slab, rewards, done, gamma
                             jnp.asarray(T * B, jnp.float32))
 
     def body(ret, t):
+        # SB3 VecNormalize order: accumulate and SAMPLE the terminal step's
+        # full discounted return, then zero for the next episode
         r, d = t
-        ret = ret * gamma * (1.0 - d) + r
-        return ret, ret
+        ret = ret * gamma + r
+        return ret * (1.0 - d), ret
 
     env_ret, rets = jax.lax.scan(
         body, norm.env_returns, (rewards.astype(jnp.float32), done))

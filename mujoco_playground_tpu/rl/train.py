@@ -41,7 +41,9 @@ def build_env(config: RLConfig):
         goal_distance_threshold=config.goal_distance_threshold,
         max_episode_steps=config.max_episode_steps,
         reference_delayed_obs=config.reference_compat,
-        reference_lidar_aliasing=config.reference_compat)
+        reference_lidar_aliasing=config.reference_compat,
+        solver_iterations=config.solver_iterations,
+        ls_iterations=config.ls_iterations)
 
 
 def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
@@ -132,7 +134,9 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
                 print(f"  checkpoint -> {path}")
         if gs >= next_eval:
             stats = evaluate_agent(
-                env, deterministic_policy(network, ts.params, norm=ts.norm),
+                env, deterministic_policy(
+                    network, ts.params,
+                    norm=ts.norm if config.normalize_obs else None),
                 num_episodes=config.eval_episodes,
                 rng=jax.random.PRNGKey(gs))
             logger.log(gs, {f"eval/{k}": v for k, v in stats.items()})
@@ -268,8 +272,10 @@ def main(argv=None):
     elif args.algo == "ppo":
         ts, env, network = train_ppo(config, resume=args.resume,
                                      profile_dir=args.profile)
-        stats = evaluate_agent(env, deterministic_policy(network, ts.params,
-                                                         norm=ts.norm),
+        stats = evaluate_agent(
+            env, deterministic_policy(
+                network, ts.params,
+                norm=ts.norm if config.normalize_obs else None),
                                num_episodes=args.eval_episodes)
         print("\nEvaluation Results:")
         print(f"  Mean Return: {stats['mean_return']:.2f} "

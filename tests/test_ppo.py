@@ -111,8 +111,11 @@ def test_running_stats_match_numpy_oracle():
             gamma)
         all_obs.append(obs.reshape(-1, D))
         for t in range(T):
-            env_ret = env_ret * gamma * (1 - done[t]) + rew[t]
+            # SB3 VecNormalize: returns = returns*gamma + r, sample, THEN
+            # zero at episode ends
+            env_ret = env_ret * gamma + rew[t]
             all_rets.append(env_ret.copy())
+            env_ret = env_ret * (1 - done[t])
     cat = np.concatenate(all_obs)
     # count starts at 1e-4 (SB3), so allow that epsilon's worth of slack
     np.testing.assert_allclose(np.asarray(norm.obs_mean), cat.mean(0),
