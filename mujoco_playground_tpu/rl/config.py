@@ -22,6 +22,9 @@ class RLConfig:
     # Reference-artifact fidelity (PARITY.md): stale-obs step semantics +
     # the f"lidar-{i}" sensor-name aliasing bug of the reference env.
     reference_compat: bool = False
+    # sane-collision variant: no-hit beams (-1) do NOT count as collisions
+    # (the reference counts them, PARITY.md "reference bugs" table)
+    sane_collision: bool = False
 
     # Reward weights (ackermann_env.py:287-301)
     distance_weight: float = -0.1

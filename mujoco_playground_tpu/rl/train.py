@@ -42,6 +42,7 @@ def build_env(config: RLConfig):
         max_episode_steps=config.max_episode_steps,
         reference_delayed_obs=config.reference_compat,
         reference_lidar_aliasing=config.reference_compat,
+        collision_ignores_nohit=config.sane_collision,
         solver_iterations=config.solver_iterations,
         ls_iterations=config.ls_iterations)
 
@@ -231,6 +232,9 @@ def main(argv=None):
     p.add_argument("--normalize", action="store_true",
                    help="SB3 VecNormalize-equivalent running obs + reward "
                         "normalization in the PPO learner")
+    p.add_argument("--sane-collision", action="store_true",
+                   help="no-hit lidar beams (-1) do NOT count as collisions "
+                        "(fixes the reference reward bug, PARITY.md)")
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--resume", action="store_true")
@@ -253,7 +257,8 @@ def main(argv=None):
         num_minibatches=args.minibatches, seed=args.seed,
         anneal_lr=args.anneal_lr, gamma=args.gamma, ent_coef=args.ent_coef,
         normalize_obs=args.normalize, normalize_reward=args.normalize,
-        reference_compat=args.reference_compat, log_dir=args.log_dir)
+        reference_compat=args.reference_compat,
+        sane_collision=args.sane_collision, log_dir=args.log_dir)
 
     print("=" * 60)
     print("Ackermann Robot RL Training (TPU)")
