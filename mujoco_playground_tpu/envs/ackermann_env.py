@@ -273,14 +273,26 @@ class AckermannEnv:
             actions[..., 0] * cfg.max_linear_velocity,
             actions[..., 1] * cfg.max_angular_velocity)
         physics = states.physics.replace(ctrl=ctrl)
-        for _ in range(cfg.physics_substeps):
-            physics = engine.step_batch(model, physics,
-                                        base_model=base_model)
+        lidar = None
+        for i in range(cfg.physics_substeps):
+            # the megakernel fuses the lidar scan on the post-step frames
+            # (free vs a separate kernel dispatch); only the final substep's
+            # scan is the observation, and the delayed-obs compat mode reads
+            # PRE-step frames so it scans separately
+            want_lidar = (i == cfg.physics_substeps - 1
+                          and not cfg.reference_delayed_obs
+                          and base_model is None)
+            if want_lidar:
+                physics, lidar = engine.step_batch(model, physics,
+                                                   with_lidar=True)
+            else:
+                physics = engine.step_batch(model, physics,
+                                            base_model=base_model)
 
         obs_src = states.physics if cfg.reference_delayed_obs else physics
         if base_model is None:
             obs, metrics = self._observe_batch(obs_src, states.odom_ref,
-                                               states.goal)
+                                               states.goal, lidar=lidar)
         else:
             bdict = engine.batched_field_dict(model, base_model)
 
@@ -345,18 +357,23 @@ class AckermannEnv:
             min_lidar=st.min_lidar)
 
     # ------------------------------------------------------------------- obs
-    def _observe_batch(self, physics: State, ref: OdometryRef, goal):
+    def _observe_batch(self, physics: State, ref: OdometryRef, goal,
+                       lidar=None):
         """Batched observation (leaves carry a leading env axis).
 
         Semantics == vmap(self._observe) on the static model; the lidar
         scan runs as a fused Pallas kernel on TPU (ops/lidar_pallas.py,
         ~10x the XLA raycast at 4096 envs) when the batch is a multiple of
-        its block, else the vmapped XLA path.
+        its block, else the vmapped XLA path.  ``lidar`` short-circuits the
+        scan with precomputed readings (the step megakernel fuses the scan
+        on the post-step frames — see step_batch).
         """
         cfg = self.config
         B = physics.qpos.shape[0]
         on_tpu = jax.devices()[0].platform != "cpu"
-        if on_tpu and B % 256 == 0:
+        if lidar is not None:
+            pass
+        elif on_tpu and B % 256 == 0:
             from mujoco_playground_tpu.ops import lidar_pallas
             fn = lidar_pallas.build_lidar_fn(self.model)
             lidar = fn(physics.xpos, physics.xquat)          # (B, nsite)

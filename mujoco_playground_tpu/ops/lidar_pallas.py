@@ -36,17 +36,34 @@ _PEPS = 1e-12
 _BUILD_CACHE = {}
 
 
-def _lidar_kernel(site_body, site_pos, site_quat, boxes_lo, boxes_hi,
-                  plane_z, plane_half, cutoff, nbody,
-                  xpos_ref, xquat_ref, out_ref):
-    """xpos (nbody*3, B), xquat (nbody*4, B) -> lidar (nsite, B)."""
-    xpos = xpos_ref[...]
-    xquat = xquat_ref[...]
-    bp = {b: [xpos[3 * b + k] for k in range(3)]
-          for b in sorted(set(site_body))}
-    bq = {b: [xquat[4 * b + k] for k in range(4)]
-          for b in sorted(set(site_body))}
+def lidar_statics(model):
+    """Static (baked-float) raycast inputs shared by this kernel and the
+    step megakernel's fused lidar (ops/step_pallas.py)."""
+    site_body = tuple(int(b) for b in np.asarray(model.site_body))
+    site_pos = np.asarray(model.site_pos, np.float64)
+    site_quat = np.asarray(model.site_quat, np.float64)
+    bpos = np.asarray(model.scene_box_pos, np.float64).reshape(-1, 3)
+    bsize = np.asarray(model.scene_box_size, np.float64).reshape(-1, 3)
+    boxes_lo = [tuple(float(v) for v in r) for r in (bpos - bsize)]
+    boxes_hi = [tuple(float(v) for v in r) for r in (bpos + bsize)]
+    plane_z = float(np.asarray(model.plane_z))
+    ph = np.asarray(model.plane_half_size, np.float64)
+    plane_half = tuple(float(v) if v > 0 else float(BIG) for v in ph)
+    cutoff = tuple(float(c) for c in np.asarray(model.sensor_cutoff))
+    if len(cutoff) < len(site_body):  # scalar / shared cutoff
+        cutoff = tuple(np.broadcast_to(np.asarray(model.sensor_cutoff),
+                                       (len(site_body),)).astype(float))
+    return (site_body, site_pos, site_quat, boxes_lo, boxes_hi, plane_z,
+            plane_half, cutoff)
 
+
+def lidar_rows(site_body, site_pos, site_quat, boxes_lo, boxes_hi,
+               plane_z, plane_half, cutoff, bp, bq):
+    """Per-site lidar readings as lane rows given body frames as lanes.
+
+    ``bp``/``bq`` map body index -> [3]/[4] lane vectors.  Pure scalar-
+    broadcast lane arithmetic (VMEM-resident inside a Pallas kernel).
+    """
     rows = []
     for i, b in enumerate(site_body):
         sp = [float(v) for v in site_pos[i]]
@@ -91,7 +108,22 @@ def _lidar_kernel(site_body, site_pos, site_quat, boxes_lo, boxes_hi,
         t = jnp.minimum(t_plane, t_best)
         rows.append(jnp.where(t >= BIG, -1.0,
                               jnp.minimum(t, float(cutoff[i]))))
-    out_ref[...] = jnp.stack(rows)
+    return rows
+
+
+def _lidar_kernel(site_body, site_pos, site_quat, boxes_lo, boxes_hi,
+                  plane_z, plane_half, cutoff, nbody,
+                  xpos_ref, xquat_ref, out_ref):
+    """xpos (nbody*3, B), xquat (nbody*4, B) -> lidar (nsite, B)."""
+    xpos = xpos_ref[...]
+    xquat = xquat_ref[...]
+    bp = {b: [xpos[3 * b + k] for k in range(3)]
+          for b in sorted(set(site_body))}
+    bq = {b: [xquat[4 * b + k] for k in range(4)]
+          for b in sorted(set(site_body))}
+    out_ref[...] = jnp.stack(lidar_rows(
+        site_body, site_pos, site_quat, boxes_lo, boxes_hi,
+        plane_z, plane_half, cutoff, bp, bq))
 
 
 def build_lidar_fn(model, block_b: int = BLOCK_B, interpret: bool = False):
@@ -106,26 +138,12 @@ def build_lidar_fn(model, block_b: int = BLOCK_B, interpret: bool = False):
     if key in _BUILD_CACHE:
         return _BUILD_CACHE[key][1]
 
-    site_body = tuple(int(b) for b in np.asarray(model.site_body))
-    site_pos = np.asarray(model.site_pos, np.float64)
-    site_quat = np.asarray(model.site_quat, np.float64)
-    bpos = np.asarray(model.scene_box_pos, np.float64).reshape(-1, 3)
-    bsize = np.asarray(model.scene_box_size, np.float64).reshape(-1, 3)
-    boxes_lo = [tuple(float(v) for v in r) for r in (bpos - bsize)]
-    boxes_hi = [tuple(float(v) for v in r) for r in (bpos + bsize)]
-    plane_z = float(np.asarray(model.plane_z))
-    ph = np.asarray(model.plane_half_size, np.float64)
-    plane_half = tuple(float(v) if v > 0 else float(BIG) for v in ph)
-    cutoff = tuple(float(c) for c in np.asarray(model.sensor_cutoff))
-    if len(cutoff) < len(site_body):  # scalar / shared cutoff
-        cutoff = tuple(np.broadcast_to(np.asarray(model.sensor_cutoff),
-                                       (len(site_body),)).astype(float))
+    statics = lidar_statics(model)
+    site_body = statics[0]
     nbody = int(model.nbody)
     nsite = len(site_body)
 
-    kernel = functools.partial(_lidar_kernel, site_body, site_pos, site_quat,
-                               boxes_lo, boxes_hi, plane_z, plane_half,
-                               cutoff, nbody)
+    kernel = functools.partial(_lidar_kernel, *statics, nbody)
 
     def spec(rows):
         return pl.BlockSpec((rows, block_b), lambda i: (0, i),

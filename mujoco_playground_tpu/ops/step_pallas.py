@@ -844,8 +844,13 @@ def _lane(x, B, dtype):
 
 
 def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
-                 qpos_ref, qvel_ref, ctrl_ref,
-                 qpos_out, qvel_out, xpos_out, xquat_out):
+                 lidar_statics, *refs):
+    if lidar_statics is not None:
+        (qpos_ref, qvel_ref, ctrl_ref,
+         qpos_out, qvel_out, xpos_out, xquat_out, lidar_out) = refs
+    else:
+        (qpos_ref, qvel_ref, ctrl_ref,
+         qpos_out, qvel_out, xpos_out, xquat_out) = refs
     from mujoco_playground_tpu.physics.constraint import EQ, FRICTION
     nq, nv, nu = sm.nq, sm.nv, sm.nu
     B = block_b
@@ -951,14 +956,34 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
         _lane(xquat_new[b][k], B, dtype)
         for b in range(sm.nbody) for k in range(4)])
 
+    if lidar_statics is not None:
+        # fused lidar on the POST-step frames: the body poses are already
+        # VMEM lanes here, so the scan costs only its arithmetic (a
+        # separate lidar kernel pays an extra dispatch plus the xpos/xquat
+        # HBM round-trip)
+        from mujoco_playground_tpu.ops.lidar_pallas import lidar_rows
+        site_body = lidar_statics[0]
+        bodies = sorted(set(site_body))
+        bp = {b: [_lane(xpos_new[b][k], B, dtype) for k in range(3)]
+              for b in bodies}
+        bq = {b: [_lane(xquat_new[b][k], B, dtype) for k in range(4)]
+              for b in bodies}
+        lidar_out[...] = jnp.stack(lidar_rows(*lidar_statics, bp, bq))
+
 
 _BUILD_CACHE = {}
 
 
 def build_step_fn(model, iterations: int, ls_iterations: int,
-                  block_b: int = BLOCK_B, interpret: bool = False):
+                  block_b: int = BLOCK_B, interpret: bool = False,
+                  with_lidar: bool = False):
     """Returns step(qpos (B,nq), qvel (B,nv), ctrl (B,nu)) ->
-    (qpos', qvel', xpos (B,nbody,3), xquat (B,nbody,4)).  B % block_b == 0.
+    (qpos', qvel', xpos (B,nbody,3), xquat (B,nbody,4)[, lidar (B,nsite)]).
+    B % block_b == 0.
+
+    ``with_lidar`` fuses the rangefinder scan on the post-step frames into
+    the same kernel (the poses are already VMEM lanes — a separate lidar
+    kernel pays a second dispatch plus the xpos/xquat HBM round-trip).
 
     The model must be env-invariant (no domain-randomization batch axes) and
     concrete (not traced) — engine.step_batch falls back to the XLA path
@@ -968,13 +993,20 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
     # the object is alive, so without the strong ref a GC'd model's id
     # could be reused and silently return a kernel baked with different
     # geometry
-    key = (id(model), iterations, ls_iterations, block_b, interpret)
+    key = (id(model), iterations, ls_iterations, block_b, interpret,
+           with_lidar)
     if key in _BUILD_CACHE:
         return _BUILD_CACHE[key][1]
 
     sm = _StaticModel(model)
+    if with_lidar:
+        from mujoco_playground_tpu.ops.lidar_pallas import lidar_statics
+        lstat = lidar_statics(model)
+        nsite = len(lstat[0])
+    else:
+        lstat = None
     kernel = functools.partial(_step_kernel, sm, iterations, ls_iterations,
-                               block_b)
+                               block_b, lstat)
 
     def spec(rows):
         return pl.BlockSpec((rows, block_b), lambda i: (0, i),
@@ -983,23 +1015,30 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
     def step(qpos, qvel, ctrl):
         B = qpos.shape[0]
         dtype = qpos.dtype
+        out_specs = [spec(sm.nq), spec(sm.nv), spec(sm.nbody * 3),
+                     spec(sm.nbody * 4)]
+        out_shape = [
+            jax.ShapeDtypeStruct((sm.nq, B), dtype),
+            jax.ShapeDtypeStruct((sm.nv, B), dtype),
+            jax.ShapeDtypeStruct((sm.nbody * 3, B), dtype),
+            jax.ShapeDtypeStruct((sm.nbody * 4, B), dtype),
+        ]
+        if lstat is not None:
+            out_specs.append(spec(nsite))
+            out_shape.append(jax.ShapeDtypeStruct((nsite, B), dtype))
         outs = pl.pallas_call(
             kernel,
             grid=(B // block_b,),
             in_specs=[spec(sm.nq), spec(sm.nv), spec(sm.nu)],
-            out_specs=[spec(sm.nq), spec(sm.nv), spec(sm.nbody * 3),
-                       spec(sm.nbody * 4)],
-            out_shape=[
-                jax.ShapeDtypeStruct((sm.nq, B), dtype),
-                jax.ShapeDtypeStruct((sm.nv, B), dtype),
-                jax.ShapeDtypeStruct((sm.nbody * 3, B), dtype),
-                jax.ShapeDtypeStruct((sm.nbody * 4, B), dtype),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(qpos.T, qvel.T, ctrl.T)
-        qpos_n, qvel_n, xpos_n, xquat_n = outs
+        qpos_n, qvel_n, xpos_n, xquat_n = outs[:4]
         xpos = jnp.moveaxis(xpos_n.reshape(sm.nbody, 3, B), -1, 0)
         xquat = jnp.moveaxis(xquat_n.reshape(sm.nbody, 4, B), -1, 0)
+        if lstat is not None:
+            return qpos_n.T, qvel_n.T, xpos, xquat, outs[4].T
         return qpos_n.T, qvel_n.T, xpos, xquat
 
     _BUILD_CACHE[key] = (model, step)

@@ -101,8 +101,13 @@ def batched_field_dict(model: Model, base_model: Model):
 
 
 def step_batch(model: Model, states: State,
-               base_model: Model = None) -> State:
+               base_model: Model = None, with_lidar: bool = False):
     """Batched physics step — the TPU fast path (semantics == vmap(step)).
+
+    ``with_lidar=True`` returns ``(states', lidar_or_None)``: on the
+    megakernel path the rangefinder scan is fused into the same kernel
+    (post-step frames are already VMEM lanes); on the fallback paths the
+    second element is None and the caller scans separately.
 
     Smooth dynamics (CRBA/RNEA/actuation/integration) run batch-last via
     :mod:`batchlast` (env axis in TPU lanes), the Newton constraint solve as
@@ -134,12 +139,14 @@ def step_batch(model: Model, states: State,
     if (on_tpu and base_model is None and B % step_pallas.BLOCK_B == 0
             and has_joint_rows and step_pallas.is_concrete_model(model)):
         fn = step_pallas.build_step_fn(model, model.solver_iterations,
-                                       model.ls_iterations)
-        qpos_n, qvel_n, xpos_n, xquat_n = fn(states.qpos, states.qvel,
-                                             states.ctrl)
-        return states.replace(qpos=qpos_n, qvel=qvel_n,
-                              time=states.time + model.timestep,
-                              xpos=xpos_n, xquat=xquat_n)
+                                       model.ls_iterations,
+                                       with_lidar=with_lidar)
+        outs = fn(states.qpos, states.qvel, states.ctrl)
+        qpos_n, qvel_n, xpos_n, xquat_n = outs[:4]
+        new = states.replace(qpos=qpos_n, qvel=qvel_n,
+                             time=states.time + model.timestep,
+                             xpos=xpos_n, xquat=xquat_n)
+        return (new, outs[4]) if with_lidar else new
 
     h = model.timestep
     qpos_bl = states.qpos.T                              # (nq, B)
@@ -202,8 +209,9 @@ def step_batch(model: Model, states: State,
     xpos_l, xquat_l = batchlast.fk_bl(model, qpos_new_bl)
     xpos = jnp.stack([x.T for x in xpos_l], axis=1)      # (B, nbody, 3)
     xquat = jnp.stack([x.T for x in xquat_l], axis=1)
-    return states.replace(qpos=qpos_new_bl.T, qvel=qvel_new_bl.T,
-                          time=states.time + h, xpos=xpos, xquat=xquat)
+    new = states.replace(qpos=qpos_new_bl.T, qvel=qvel_new_bl.T,
+                         time=states.time + h, xpos=xpos, xquat=xquat)
+    return (new, None) if with_lidar else new
 
 
 def step(model: Model, state: State) -> State:

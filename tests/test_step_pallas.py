@@ -53,6 +53,27 @@ def test_megakernel_matches_engine_step(warm_states):
     assert float(jnp.max(jnp.abs(xquat_n - ref.xquat))) < 1e-7
 
 
+def test_megakernel_fused_lidar_matches_raycast(warm_states):
+    """with_lidar=True must return the exact post-step scan the standalone
+    raycast computes on the stepped frames."""
+    from mujoco_playground_tpu.physics import raycast
+    env, model, phys, step_ref = warm_states
+    step_fn = step_pallas.build_step_fn(model, 4, 3, block_b=B,
+                                        interpret=True, with_lidar=True)
+    qpos_n, qvel_n, xpos_n, xquat_n, lidar = step_fn(phys.qpos, phys.qvel,
+                                                     phys.ctrl)
+    ref_lidar = jax.vmap(lambda xp, xq: raycast.lidar(model, xp, xq))(
+        xpos_n, xquat_n)
+    assert lidar.shape == (B, 72)
+    assert float(jnp.max(jnp.abs(lidar - ref_lidar.astype(lidar.dtype)))) \
+        < 1e-5
+    # and the physics outputs are unchanged by the fused scan
+    plain = step_pallas.build_step_fn(model, 4, 3, block_b=B, interpret=True)
+    qp2, qv2, _, _ = plain(phys.qpos, phys.qvel, phys.ctrl)
+    assert float(jnp.max(jnp.abs(qpos_n - qp2))) == 0.0
+    assert float(jnp.max(jnp.abs(qvel_n - qv2))) == 0.0
+
+
 def test_is_concrete_model(warm_states):
     env, model, phys, _ = warm_states
     assert step_pallas.is_concrete_model(model)
