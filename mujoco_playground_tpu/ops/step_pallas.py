@@ -616,8 +616,12 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
             for kbox in range(K):
                 bp = [float(v) for v in box_pos[kbox]]
                 bs = [float(v) for v in box_size[kbox]]
-                d2 = sadd(*[smul(ssub(c[kk], bp[kk]), ssub(c[kk], bp[kk]))
-                            for kk in range(3)])
+                # squared SURFACE distance (see collision.py: center
+                # ranking misses long merged wall slabs)
+                q = [jnp.maximum(jnp.abs(ssub(c[kk], bp[kk])
+                                         + jnp.zeros((B,), dtype))
+                                 - bs[kk], 0.0) for kk in range(3)]
+                d2 = sadd(*[smul(q[kk], q[kk]) for kk in range(3)])
                 isb = d2 < best["d2"]
                 iss = (~isb) & (d2 < second["d2"])
                 new_second = dict(
@@ -687,9 +691,10 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
             for kbox in range(sm.num_scene_boxes):
                 bp = [float(v) for v in sm.scene_box_pos[kbox]]
                 bs = [float(v) for v in sm.scene_box_size[kbox]]
-                d2 = sadd(*[smul(ssub(center[kk], bp[kk]),
-                                 ssub(center[kk], bp[kk]))
-                            for kk in range(3)])
+                q = [jnp.maximum(jnp.abs(ssub(center[kk], bp[kk])
+                                         + jnp.zeros((B,), dtype))
+                                 - bs[kk], 0.0) for kk in range(3)]
+                d2 = sadd(*[smul(q[kk], q[kk]) for kk in range(3)])
                 isb = d2 < nb["d2"]
                 nb = dict(d2=jnp.where(isb, d2, nb["d2"]),
                           bp=[jnp.where(isb, bp[kk], nb["bp"][kk])

@@ -121,6 +121,9 @@ def collide(model: Model, xpos, xquat) -> Contacts:
             body_l.append(b)
 
     # --- wheels vs boxes (sphere approximation) -----------------------------
+    # candidate selection by squared SURFACE distance (clamp), not center
+    # distance: merged maze walls are long slabs whose centers sit far from
+    # a nearby face, so center ranking would miss the true closest box
     if model.num_scene_boxes > 0:
         box_pos = model.scene_box_pos
         box_size = model.scene_box_size
@@ -128,7 +131,8 @@ def collide(model: Model, xpos, xquat) -> Contacts:
             b = model.wheel_body[w]
             c = xpos[b] + mu.quat_rotate(xquat[b], model.wheel_pos[w])
             r = model.wheel_size[w, 0]
-            d2 = jnp.sum((box_pos - c) ** 2, axis=-1)
+            d2 = jnp.sum(jnp.maximum(jnp.abs(box_pos - c) - box_size,
+                                     0.0) ** 2, axis=-1)
             _, idx = jax.lax.top_k(-d2, min(TOPK_W, model.num_scene_boxes))
             fric, solref, solimp = _combine(
                 model, model.wheel_friction[w, 0], model.wheel_solref[w],
@@ -186,7 +190,9 @@ def collide(model: Model, xpos, xquat) -> Contacts:
         if model.num_scene_boxes > 0:
             center = xpos[b] + mu.quat_rotate(xquat[b],
                                               model.chassis_box_pos[i])
-            d2 = jnp.sum((model.scene_box_pos - center) ** 2, axis=-1)
+            d2 = jnp.sum(jnp.maximum(jnp.abs(model.scene_box_pos - center)
+                                     - model.scene_box_size, 0.0) ** 2,
+                         axis=-1)
             j = jnp.argmin(d2)
             bp = model.scene_box_pos[j]
             bs = model.scene_box_size[j]
