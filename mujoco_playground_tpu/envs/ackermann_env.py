@@ -371,17 +371,16 @@ class AckermannEnv:
         cfg = self.config
         B = physics.qpos.shape[0]
         on_tpu = jax.devices()[0].platform != "cpu"
-        if lidar is not None:
-            pass
-        elif on_tpu and B % 256 == 0:
-            from mujoco_playground_tpu.ops import lidar_pallas
-            fn = lidar_pallas.build_lidar_fn(self.model)
-            lidar = fn(physics.xpos, physics.xquat)          # (B, nsite)
-        else:
-            from mujoco_playground_tpu.physics import raycast
-            lidar = jax.vmap(
-                lambda xp, xq: raycast.lidar(self.model, xp, xq))(
-                    physics.xpos, physics.xquat)
+        if lidar is None:
+            if on_tpu and B % 256 == 0:
+                from mujoco_playground_tpu.ops import lidar_pallas
+                fn = lidar_pallas.build_lidar_fn(self.model)
+                lidar = fn(physics.xpos, physics.xquat)      # (B, nsite)
+            else:
+                from mujoco_playground_tpu.physics import raycast
+                lidar = jax.vmap(
+                    lambda xp, xq: raycast.lidar(self.model, xp, xq))(
+                        physics.xpos, physics.xquat)
         if cfg.reference_lidar_aliasing:
             lidar = lidar.at[:, 0:10].set(lidar[:, 71:72])
         pos_diff = physics.xpos[:, 1] - ref.position          # (B, 3)

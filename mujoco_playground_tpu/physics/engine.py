@@ -138,15 +138,20 @@ def step_batch(model: Model, states: State,
                       + 2 * len(model.limited_dofs)) > 0
     if (on_tpu and base_model is None and B % step_pallas.BLOCK_B == 0
             and has_joint_rows and step_pallas.is_concrete_model(model)):
+        # a model without rangefinder sites has nothing to fuse (a zero-row
+        # kernel output is invalid); the (new, None) contract covers it
+        fuse_lidar = with_lidar and model.nsite > 0
         fn = step_pallas.build_step_fn(model, model.solver_iterations,
                                        model.ls_iterations,
-                                       with_lidar=with_lidar)
+                                       with_lidar=fuse_lidar)
         outs = fn(states.qpos, states.qvel, states.ctrl)
         qpos_n, qvel_n, xpos_n, xquat_n = outs[:4]
         new = states.replace(qpos=qpos_n, qvel=qvel_n,
                              time=states.time + model.timestep,
                              xpos=xpos_n, xquat=xquat_n)
-        return (new, outs[4]) if with_lidar else new
+        if with_lidar:
+            return (new, outs[4] if fuse_lidar else None)
+        return new
 
     h = model.timestep
     qpos_bl = states.qpos.T                              # (nq, B)

@@ -130,8 +130,13 @@ def merge_aabbs(pos, size, eps: float = 1e-9):
         others = [o for o in range(3) if o != ax]
         groups = collections.defaultdict(list)
         for b in bs:
-            key = tuple(round(float(b[o]), 9) for o in others) + \
-                tuple(round(float(b[3 + o]), 9) for o in others)
+            # EXACT cross-section equality (no rounding): grid callers
+            # build shared coordinates from identical float expressions,
+            # and snapping nearly-equal cross-sections together would
+            # break the exact-union contract by a sliver.  A non-matching
+            # cross-section merely stays unmerged (perf, not correctness).
+            key = tuple(float(b[o]) for o in others) + \
+                tuple(float(b[3 + o]) for o in others)
             groups[key].append(b)
         out = []
         for g in groups.values():
