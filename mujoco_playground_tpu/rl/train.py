@@ -90,22 +90,23 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
             print(f"profiler trace written to {profile_dir}")
 
     # Host<->device syncs are expensive (hundreds of ms through a remote
-    # tunnel); read metrics back only every `log_interval` iterations and
-    # let iterations in between run fully async.
+    # tunnel); read metrics back only every ~1M env-steps and let
+    # iterations in between run fully async — but never queue more
+    # iterations than `total_timesteps` has left, so short runs stop (and
+    # LR schedules end) where requested instead of overshooting by up to
+    # a full sync group.
     log_interval = max(1, 1_000_000 // steps_per_iter)
     t_start = time.time()
-    last_good = None
     gs = 0
-    it = 0
     t0 = time.time()
     prev = ts
     while gs < config.total_timesteps:
-        ts, metrics = train_step(ts)
-        it += 1
-        if it % log_interval:
-            continue
+        remaining = -(-(config.total_timesteps - gs) // steps_per_iter)
+        group = min(log_interval, remaining)
+        for _ in range(group):
+            ts, metrics = train_step(ts)
         jax.block_until_ready(ts.params)
-        dt = (time.time() - t0) / log_interval
+        dt = (time.time() - t0) / group
         t0 = time.time()
         gs = int(ts.global_step)
         metrics = {k: float(v) for k, v in metrics.items()}
