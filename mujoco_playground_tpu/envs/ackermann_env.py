@@ -74,6 +74,13 @@ class EnvConfig:
     # changes this by calling mj_forward, l.205).  True reproduces that.
     reference_delayed_obs: bool = False
     physics_substeps: int = 1                 # reference: 1 (500 Hz control)
+    # Optional potential-based progress shaping (OFF by default — the
+    # faithful reference reward): reward += scale * (d_prev - d_new) with
+    # the goal distance as the potential.  Telescopes over an episode, so
+    # it preserves the optimal policy while giving dense navigation signal
+    # (Ng et al. 1999); use with --progress-reward for training runs that
+    # aim past the reference's 0% success plateau.
+    progress_reward_scale: float = 0.0
 
 
 @struct.dataclass
@@ -93,6 +100,10 @@ class EnvState:
     goal_distance: Any
     collision: Any
     min_lidar: Any
+    # carried potential for progress shaping: the previous step's goal
+    # distance (seeded with the initial distance at reset; NOT overwritten
+    # by the auto-reset outcome merge, unlike ``goal_distance``)
+    prev_goal_distance: Any
 
 
 class AckermannEnv:
@@ -199,7 +210,8 @@ class AckermannEnv:
             physics=physics, odom_ref=ref, goal=goal, rng=rng,
             steps=jnp.zeros((), jnp.int32), obs=obs0, final_obs=obs0,
             reward=zero, terminated=false, truncated=false, done=false,
-            goal_distance=zero, collision=false, min_lidar=zero)
+            goal_distance=zero, collision=false, min_lidar=zero,
+            prev_goal_distance=jnp.linalg.norm(goal).astype(dtype))
 
     # ------------------------------------------------------------------- step
     def step(self, state: EnvState, action, model=None) -> EnvState:
@@ -223,7 +235,10 @@ class AckermannEnv:
         reward = (-goal_distance * 0.1
                   + jnp.where(terminated, 100.0, 0.0)
                   + jnp.where(collision, -50.0, 0.0)
-                  - 0.01).astype(self.dtype)
+                  - 0.01
+                  + cfg.progress_reward_scale
+                  * (state.prev_goal_distance - goal_distance)
+                  ).astype(self.dtype)
         steps = state.steps + 1
         truncated = (steps >= cfg.max_episode_steps) & ~terminated
         return state.replace(
@@ -231,7 +246,7 @@ class AckermannEnv:
             steps=steps, terminated=terminated, truncated=truncated,
             done=terminated | truncated,
             goal_distance=goal_distance, collision=collision,
-            min_lidar=metrics["min_lidar"])
+            min_lidar=metrics["min_lidar"], prev_goal_distance=goal_distance)
 
     def step_autoreset(self, state: EnvState, action) -> EnvState:
         """Step with branchless in-step auto-reset (lockstep semantics).
@@ -308,7 +323,10 @@ class AckermannEnv:
         reward = (-goal_distance * 0.1
                   + jnp.where(terminated, 100.0, 0.0)
                   + jnp.where(collision, -50.0, 0.0)
-                  - 0.01).astype(self.dtype)
+                  - 0.01
+                  + cfg.progress_reward_scale
+                  * (states.prev_goal_distance - goal_distance)
+                  ).astype(self.dtype)
         steps = states.steps + 1
         truncated = (steps >= cfg.max_episode_steps) & ~terminated
         return states.replace(
@@ -316,7 +334,7 @@ class AckermannEnv:
             steps=steps, terminated=terminated, truncated=truncated,
             done=terminated | truncated,
             goal_distance=goal_distance, collision=collision,
-            min_lidar=metrics["min_lidar"])
+            min_lidar=metrics["min_lidar"], prev_goal_distance=goal_distance)
 
     def step_autoreset_batch(self, states: EnvState, actions) -> EnvState:
         """Batched step with in-step auto-reset (see step_autoreset).

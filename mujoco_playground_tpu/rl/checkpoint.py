@@ -59,10 +59,35 @@ def latest_checkpoint(path: str) -> Optional[str]:
 
 
 def restore_checkpoint(target: str, template) -> Any:
-    """Restore into the structure of `template` (an abstract train state)."""
+    """Restore into the structure of `template` (an abstract train state).
+
+    Forward-compatible: leaves present in `template` but absent from the
+    checkpoint (fields added after the checkpoint was written, e.g.
+    ``EnvState.prev_goal_distance``) keep their template values instead of
+    failing the whole restore.
+    """
     if _HAS_ORBAX and os.path.isdir(target):
         ckpt = ocp.StandardCheckpointer()
-        return ckpt.restore(target, jax.device_get(template))
+        template = jax.device_get(template)
+        try:
+            return ckpt.restore(target, template)
+        except (ValueError, KeyError, TypeError):
+            # Structure mismatch (old checkpoint, new state fields): restore
+            # the raw stored tree, overlay it onto the template's serialized
+            # form, and rebuild the dataclass structure — checkpoint leaves
+            # win, template-only leaves keep their values.
+            raw = ckpt.restore(target)
+            ser = ocp.utils.serialize_tree(template, keep_empty_nodes=True)
+
+            def overlay(t, r):
+                if isinstance(t, dict) and isinstance(r, dict):
+                    return {k: (overlay(t[k], r[k]) if k in r else t[k])
+                            for k in t}
+                return t if r is None else r
+
+            merged = overlay(ser, raw)
+            return ocp.utils.deserialize_tree(merged, template,
+                                              keep_empty_nodes=True)
     data = np.load(target, allow_pickle=False)
     leaves = [data[k] for k in data.files]
     treedef = jax.tree.structure(template)

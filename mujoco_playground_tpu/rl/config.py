@@ -25,6 +25,9 @@ class RLConfig:
     # sane-collision variant: no-hit beams (-1) do NOT count as collisions
     # (the reference counts them, PARITY.md "reference bugs" table)
     sane_collision: bool = False
+    # potential-based progress shaping weight (0 = the faithful reference
+    # reward; see EnvConfig.progress_reward_scale)
+    progress_reward: float = 0.0
 
     # Reward weights (ackermann_env.py:287-301)
     distance_weight: float = -0.1

@@ -43,6 +43,7 @@ def build_env(config: RLConfig):
         reference_delayed_obs=config.reference_compat,
         reference_lidar_aliasing=config.reference_compat,
         collision_ignores_nohit=config.sane_collision,
+        progress_reward_scale=config.progress_reward,
         solver_iterations=config.solver_iterations,
         ls_iterations=config.ls_iterations)
 
@@ -236,6 +237,12 @@ def main(argv=None):
     p.add_argument("--sane-collision", action="store_true",
                    help="no-hit lidar beams (-1) do NOT count as collisions "
                         "(fixes the reference reward bug, PARITY.md)")
+    p.add_argument("--progress-reward", type=float, default=0.0,
+                   metavar="SCALE",
+                   help="potential-based progress shaping: reward += "
+                        "SCALE*(d_prev - d_new) toward the goal (0 = the "
+                        "faithful reference reward; preserves the optimal "
+                        "policy, Ng et al. 1999)")
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--resume", action="store_true")
@@ -259,7 +266,8 @@ def main(argv=None):
         anneal_lr=args.anneal_lr, gamma=args.gamma, ent_coef=args.ent_coef,
         normalize_obs=args.normalize, normalize_reward=args.normalize,
         reference_compat=args.reference_compat,
-        sane_collision=args.sane_collision, log_dir=args.log_dir)
+        sane_collision=args.sane_collision,
+        progress_reward=args.progress_reward, log_dir=args.log_dir)
 
     print("=" * 60)
     print("Ackermann Robot RL Training (TPU)")

@@ -302,3 +302,54 @@ def test_statistical_long_horizon_parity():
     # goal-reached outcomes agree on all but at most 2 episodes
     assert int((our_success != mj_success).sum()) <= 2, \
         (our_success, mj_success)
+
+
+def test_progress_reward_shaping_telescopes():
+    """Potential-based shaping (opt-in): shaped reward == faithful reward
+    + scale*(d_prev - d_new), seeded with the INITIAL goal distance at
+    reset (including fresh auto-reset episodes), so the shaping telescopes
+    to d0 - dT over an episode and preserves the optimal policy."""
+    import jax
+    import jax.numpy as jnp
+
+    from mujoco_playground_tpu.envs.make_env import make_ackermann_env
+
+    scale = 2.0
+    base = make_ackermann_env("maze", "umaze",
+                              solver_iterations=2, ls_iterations=2,
+                              max_episode_steps=5)
+    shaped = make_ackermann_env("maze", "umaze",
+                                solver_iterations=2, ls_iterations=2,
+                                max_episode_steps=5,
+                                progress_reward_scale=scale)
+
+    B = 8
+    rngs = jax.random.split(jax.random.PRNGKey(3), B)
+    s0 = jax.jit(jax.vmap(base.reset))(rngs)
+    s1 = jax.jit(jax.vmap(shaped.reset))(rngs)
+    np.testing.assert_allclose(np.asarray(s1.prev_goal_distance),
+                               np.linalg.norm(np.asarray(s1.goal), axis=-1),
+                               rtol=1e-6)
+
+    step0 = jax.jit(base.step_autoreset_batch)
+    step1 = jax.jit(shaped.step_autoreset_batch)
+    rng = jax.random.PRNGKey(7)
+    prev_d = np.asarray(s1.prev_goal_distance)
+    for t in range(12):   # crosses the 5-step truncation -> auto-resets
+        rng, k = jax.random.split(rng)
+        acts = jax.random.uniform(k, (B, 2), minval=-1.0, maxval=1.0)
+        s0, s1 = step0(s0, acts), step1(s1, acts)
+        d_new = np.asarray(s1.goal_distance)
+        np.testing.assert_allclose(
+            np.asarray(s1.reward),
+            np.asarray(s0.reward) + scale * (prev_d - d_new),
+            rtol=1e-5, atol=1e-5)
+        # carried potential: new distance for survivors, the fresh
+        # episode's initial distance for auto-reset envs
+        done = np.asarray(s1.done)
+        want = np.where(done,
+                        np.linalg.norm(np.asarray(s1.goal), axis=-1),
+                        d_new)
+        np.testing.assert_allclose(np.asarray(s1.prev_goal_distance), want,
+                                   rtol=1e-5, atol=1e-6)
+        prev_d = np.asarray(s1.prev_goal_distance)
