@@ -67,6 +67,7 @@ def restore_checkpoint(target: str, template) -> Any:
     failing the whole restore.
     """
     if _HAS_ORBAX and os.path.isdir(target):
+        target = os.path.abspath(target)   # orbax requires absolute paths
         ckpt = ocp.StandardCheckpointer()
         template = jax.device_get(template)
         try:

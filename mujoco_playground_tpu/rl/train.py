@@ -49,20 +49,26 @@ def build_env(config: RLConfig):
 
 
 def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
-              profile_dir: str = None):
+              profile_dir: str = None, eval_only: bool = False):
     env = build_env(config)
     network = ActorCritic(action_size=env.action_size)
     rng = jax.random.PRNGKey(config.seed)
     ts = ppo.init_train_state(env, network, config, rng)
 
     log_dir = os.path.join(config.log_dir, "ppo")
-    logger = MetricsLogger(log_dir)
-    if resume:
+    if resume or eval_only:
         latest = ckpt_lib.latest_checkpoint(log_dir)
         if latest:
             ts = ckpt_lib.restore_checkpoint(latest, ts)
             if verbose:
                 print(f"Resumed from {latest}")
+        elif eval_only:
+            raise SystemExit(f"--eval-only: no checkpoint under {log_dir}")
+    if eval_only:
+        # read-only: no training loop, no logger, and crucially no final
+        # save (which rewrites the checkpoint directory in place)
+        return ts, env, network
+    logger = MetricsLogger(log_dir)
 
     # Split compilation: rollout and update as separate XLA programs (much
     # faster first compile than the fully-fused step; same math).
@@ -246,6 +252,9 @@ def main(argv=None):
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-only", action="store_true",
+                   help="restore the latest checkpoint under --log-dir and "
+                        "evaluate it (no training, nothing written)")
     p.add_argument("--log-dir", default="rl_logs")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of one train step "
@@ -285,7 +294,8 @@ def main(argv=None):
                          eval_episodes=args.eval_episodes)
     elif args.algo == "ppo":
         ts, env, network = train_ppo(config, resume=args.resume,
-                                     profile_dir=args.profile)
+                                     profile_dir=args.profile,
+                                     eval_only=args.eval_only)
         stats = evaluate_agent(
             env, deterministic_policy(
                 network, ts.params,
