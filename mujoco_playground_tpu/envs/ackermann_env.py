@@ -288,26 +288,51 @@ class AckermannEnv:
             actions[..., 0] * cfg.max_linear_velocity,
             actions[..., 1] * cfg.max_angular_velocity)
         physics = states.physics.replace(ctrl=ctrl)
-        lidar = None
+        env_slab = None
         for i in range(cfg.physics_substeps):
-            # the megakernel fuses the lidar scan on the post-step frames
-            # (free vs a separate kernel dispatch); only the final substep's
-            # scan is the observation, and the delayed-obs compat mode reads
-            # PRE-step frames so it scans separately
-            want_lidar = (i == cfg.physics_substeps - 1
-                          and not cfg.reference_delayed_obs
-                          and base_model is None)
-            if want_lidar:
-                physics, lidar = engine.step_batch(model, physics,
-                                                   with_lidar=True)
+            # the megakernel fuses the lidar scan AND the obs+reward
+            # pipeline on the post-step frames (free vs separate kernel
+            # dispatches + HBM round-trips); only the final substep
+            # observes, and the delayed-obs compat mode reads PRE-step
+            # frames so it observes separately
+            want_env = (i == cfg.physics_substeps - 1
+                        and not cfg.reference_delayed_obs
+                        and base_model is None)
+            if want_env:
+                env_in = jnp.concatenate(
+                    [states.odom_ref.position[:, :2], states.goal,
+                     states.prev_goal_distance[:, None]],
+                    axis=-1).astype(self.dtype)
+                physics, env_slab = engine.step_batch(
+                    model, physics, with_env=self._env_statics(),
+                    env_in=env_in)
             else:
                 physics = engine.step_batch(model, physics,
                                             base_model=base_model)
 
+        if env_slab is not None:
+            # fused fast path: the kernel already assembled obs and the
+            # reward/termination metrics (see step_pallas.build_step_fn)
+            ns = self.model.nsite
+            obs = env_slab[:, :ns + 7]
+            reward = env_slab[:, ns + 7].astype(self.dtype)
+            goal_distance = env_slab[:, ns + 8]
+            min_lidar = env_slab[:, ns + 9]
+            collision = env_slab[:, ns + 10] > 0.5
+            terminated = env_slab[:, ns + 11] > 0.5
+            steps = states.steps + 1
+            truncated = (steps >= cfg.max_episode_steps) & ~terminated
+            return states.replace(
+                physics=physics, obs=obs, final_obs=obs, reward=reward,
+                steps=steps, terminated=terminated, truncated=truncated,
+                done=terminated | truncated,
+                goal_distance=goal_distance, collision=collision,
+                min_lidar=min_lidar, prev_goal_distance=goal_distance)
+
         obs_src = states.physics if cfg.reference_delayed_obs else physics
         if base_model is None:
             obs, metrics = self._observe_batch(obs_src, states.odom_ref,
-                                               states.goal, lidar=lidar)
+                                               states.goal)
         else:
             bdict = engine.batched_field_dict(model, base_model)
 
@@ -375,30 +400,39 @@ class AckermannEnv:
             min_lidar=st.min_lidar)
 
     # ------------------------------------------------------------------- obs
-    def _observe_batch(self, physics: State, ref: OdometryRef, goal,
-                       lidar=None):
+    def _env_statics(self):
+        """Baked env constants for the megakernel's fused obs+reward path
+        (hashable — part of the kernel build cache key)."""
+        cfg = self.config
+        return (float(cfg.collision_threshold),
+                float(cfg.goal_distance_threshold),
+                float(cfg.progress_reward_scale),
+                bool(cfg.reference_lidar_aliasing),
+                bool(cfg.collision_ignores_nohit))
+
+    def _observe_batch(self, physics: State, ref: OdometryRef, goal):
         """Batched observation (leaves carry a leading env axis).
 
         Semantics == vmap(self._observe) on the static model; the lidar
         scan runs as a fused Pallas kernel on TPU (ops/lidar_pallas.py,
         ~10x the XLA raycast at 4096 envs) when the batch is a multiple of
-        its block, else the vmapped XLA path.  ``lidar`` short-circuits the
-        scan with precomputed readings (the step megakernel fuses the scan
-        on the post-step frames — see step_batch).
+        its block, else the vmapped XLA path.  The hot path doesn't come
+        through here at all — the step megakernel fuses the whole obs +
+        reward pipeline (see step_batch); this remains for the fallback
+        paths and the auto-reset continuation observation.
         """
         cfg = self.config
         B = physics.qpos.shape[0]
         on_tpu = jax.devices()[0].platform != "cpu"
-        if lidar is None:
-            if on_tpu and B % 256 == 0:
-                from mujoco_playground_tpu.ops import lidar_pallas
-                fn = lidar_pallas.build_lidar_fn(self.model)
-                lidar = fn(physics.xpos, physics.xquat)      # (B, nsite)
-            else:
-                from mujoco_playground_tpu.physics import raycast
-                lidar = jax.vmap(
-                    lambda xp, xq: raycast.lidar(self.model, xp, xq))(
-                        physics.xpos, physics.xquat)
+        if on_tpu and B % 256 == 0:
+            from mujoco_playground_tpu.ops import lidar_pallas
+            fn = lidar_pallas.build_lidar_fn(self.model)
+            lidar = fn(physics.xpos, physics.xquat)          # (B, nsite)
+        else:
+            from mujoco_playground_tpu.physics import raycast
+            lidar = jax.vmap(
+                lambda xp, xq: raycast.lidar(self.model, xp, xq))(
+                    physics.xpos, physics.xquat)
         if cfg.reference_lidar_aliasing:
             lidar = lidar.at[:, 0:10].set(lidar[:, 71:72])
         pos_diff = physics.xpos[:, 1] - ref.position          # (B, 3)

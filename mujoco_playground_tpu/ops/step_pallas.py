@@ -849,8 +849,11 @@ def _lane(x, B, dtype):
 
 
 def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
-                 lidar_statics, *refs):
-    if lidar_statics is not None:
+                 lidar_statics, env_statics, *refs):
+    if env_statics is not None:
+        (qpos_ref, qvel_ref, ctrl_ref, env_in_ref,
+         qpos_out, qvel_out, xpos_out, xquat_out, env_out) = refs
+    elif lidar_statics is not None:
         (qpos_ref, qvel_ref, ctrl_ref,
          qpos_out, qvel_out, xpos_out, xquat_out, lidar_out) = refs
     else:
@@ -973,7 +976,54 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
               for b in bodies}
         bq = {b: [_lane(xquat_new[b][k], B, dtype) for k in range(4)]
               for b in bodies}
-        lidar_out[...] = jnp.stack(lidar_rows(*lidar_statics, bp, bq))
+        rows = lidar_rows(*lidar_statics, bp, bq)
+        if env_statics is None:
+            lidar_out[...] = jnp.stack(rows)
+        else:
+            # fused observation + reward on the post-step frames (the
+            # semantics of envs.ackermann_env._observe_batch + its reward
+            # block, with the config constants baked): keeps the obs
+            # assembly and reward math out of XLA entirely.
+            (coll_th, goal_th, prog_scale, aliasing, ignores_nohit) = \
+                env_statics
+            if aliasing:
+                rows = [rows[71]] * 10 + rows[10:]
+            ref_x = env_in_ref[0]
+            ref_y = env_in_ref[1]
+            goal_x = env_in_ref[2]
+            goal_y = env_in_ref[3]
+            prev_gd = env_in_ref[4]
+            px = _lane(xpos_new[1][0], B, dtype) - ref_x
+            py = _lane(xpos_new[1][1], B, dtype) - ref_y
+            qw = _lane(xquat_new[1][0], B, dtype)
+            qx = _lane(xquat_new[1][1], B, dtype)
+            qy = _lane(xquat_new[1][2], B, dtype)
+            qz = _lane(xquat_new[1][3], B, dtype)
+            heading = jnp.arctan2(2.0 * (qw * qz + qx * qy),
+                                  1.0 - 2.0 * (qy * qy + qz * qz))
+            gx = goal_x - px
+            gy = goal_y - py
+            gd = jnp.sqrt(gx * gx + gy * gy)
+            ga = jnp.arctan2(gy, gx) - heading
+            ga = jnp.arctan2(jnp.sin(ga), jnp.cos(ga))
+            if ignores_nohit:
+                mrows = [jnp.where(r < 0.0, jnp.inf, r) for r in rows]
+            else:
+                mrows = rows
+            min_lidar = mrows[0]
+            for r in mrows[1:]:
+                min_lidar = jnp.minimum(min_lidar, r)
+            collision = min_lidar < coll_th
+            terminated = gd < goal_th
+            reward = (-gd * 0.1
+                      + jnp.where(terminated, 100.0, 0.0)
+                      + jnp.where(collision, -50.0, 0.0)
+                      - 0.01
+                      + prog_scale * (prev_gd - gd))
+            env_out[...] = jnp.stack(
+                rows + [px, py, heading, gx, gy, gd, ga,
+                        reward, gd, min_lidar,
+                        collision.astype(dtype), terminated.astype(dtype)])
 
 
 _BUILD_CACHE = {}
@@ -981,25 +1031,37 @@ _BUILD_CACHE = {}
 
 def build_step_fn(model, iterations: int, ls_iterations: int,
                   block_b: int = BLOCK_B, interpret: bool = False,
-                  with_lidar: bool = False):
-    """Returns step(qpos (B,nq), qvel (B,nv), ctrl (B,nu)) ->
-    (qpos', qvel', xpos (B,nbody,3), xquat (B,nbody,4)[, lidar (B,nsite)]).
-    B % block_b == 0.
+                  with_lidar: bool = False, with_env: tuple = None):
+    """Returns step(qpos (B,nq), qvel (B,nv), ctrl (B,nu)[, env_in (B,5)]) ->
+    (qpos', qvel', xpos (B,nbody,3), xquat (B,nbody,4)[, lidar (B,nsite)
+    | env_out (B, nsite+12)]).  B % block_b == 0.
 
     ``with_lidar`` fuses the rangefinder scan on the post-step frames into
     the same kernel (the poses are already VMEM lanes — a separate lidar
     kernel pays a second dispatch plus the xpos/xquat HBM round-trip).
 
+    ``with_env`` goes further and fuses the whole Ackermann observation +
+    reward pipeline (envs.ackermann_env._observe_batch semantics).  Pass a
+    tuple of baked env constants ``(collision_threshold,
+    goal_distance_threshold, progress_reward_scale, reference_lidar_aliasing,
+    collision_ignores_nohit)``; the step then takes an extra input
+    ``env_in (B, 5) = [ref_x, ref_y, goal_x, goal_y, prev_goal_distance]``
+    and returns ``env_out (B, nsite+12)`` = obs rows ``[lidar(nsite), x, y,
+    heading, dx, dy, dist, angle]`` followed by ``[reward, goal_distance,
+    min_lidar, collision, terminated]`` (flags as 0/1 floats).
+
     The model must be env-invariant (no domain-randomization batch axes) and
     concrete (not traced) — engine.step_batch falls back to the XLA path
     otherwise.
     """
+    if with_env is not None:
+        with_lidar = True
     # the cached entry retains the model: id() keys are only unique while
     # the object is alive, so without the strong ref a GC'd model's id
     # could be reused and silently return a kernel baked with different
     # geometry
     key = (id(model), iterations, ls_iterations, block_b, interpret,
-           with_lidar)
+           with_lidar, with_env)
     if key in _BUILD_CACHE:
         return _BUILD_CACHE[key][1]
 
@@ -1011,15 +1073,20 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
     else:
         lstat = None
     kernel = functools.partial(_step_kernel, sm, iterations, ls_iterations,
-                               block_b, lstat)
+                               block_b, lstat, with_env)
 
     def spec(rows):
         return pl.BlockSpec((rows, block_b), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    def step(qpos, qvel, ctrl):
+    def step(qpos, qvel, ctrl, env_in=None):
         B = qpos.shape[0]
         dtype = qpos.dtype
+        in_specs = [spec(sm.nq), spec(sm.nv), spec(sm.nu)]
+        inputs = [qpos.T, qvel.T, ctrl.T]
+        if with_env is not None:
+            in_specs.append(spec(5))
+            inputs.append(env_in.T)
         out_specs = [spec(sm.nq), spec(sm.nv), spec(sm.nbody * 3),
                      spec(sm.nbody * 4)]
         out_shape = [
@@ -1029,16 +1096,17 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
             jax.ShapeDtypeStruct((sm.nbody * 4, B), dtype),
         ]
         if lstat is not None:
-            out_specs.append(spec(nsite))
-            out_shape.append(jax.ShapeDtypeStruct((nsite, B), dtype))
+            rows = nsite + 12 if with_env is not None else nsite
+            out_specs.append(spec(rows))
+            out_shape.append(jax.ShapeDtypeStruct((rows, B), dtype))
         outs = pl.pallas_call(
             kernel,
             grid=(B // block_b,),
-            in_specs=[spec(sm.nq), spec(sm.nv), spec(sm.nu)],
+            in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(qpos.T, qvel.T, ctrl.T)
+        )(*inputs)
         qpos_n, qvel_n, xpos_n, xquat_n = outs[:4]
         xpos = jnp.moveaxis(xpos_n.reshape(sm.nbody, 3, B), -1, 0)
         xquat = jnp.moveaxis(xquat_n.reshape(sm.nbody, 4, B), -1, 0)

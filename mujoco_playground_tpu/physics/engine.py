@@ -101,13 +101,21 @@ def batched_field_dict(model: Model, base_model: Model):
 
 
 def step_batch(model: Model, states: State,
-               base_model: Model = None, with_lidar: bool = False):
+               base_model: Model = None, with_lidar: bool = False,
+               with_env: tuple = None, env_in=None):
     """Batched physics step — the TPU fast path (semantics == vmap(step)).
 
     ``with_lidar=True`` returns ``(states', lidar_or_None)``: on the
     megakernel path the rangefinder scan is fused into the same kernel
     (post-step frames are already VMEM lanes); on the fallback paths the
     second element is None and the caller scans separately.
+
+    ``with_env`` (a tuple of baked env constants, see
+    step_pallas.build_step_fn) additionally fuses the Ackermann obs +
+    reward pipeline: pass ``env_in (B, 5) = [ref_x, ref_y, goal_x, goal_y,
+    prev_goal_distance]`` and the return is ``(states', env_slab_or_None)``
+    with ``env_slab (B, nsite+12)``.  Fallback paths return None and the
+    caller observes separately.
 
     Smooth dynamics (CRBA/RNEA/actuation/integration) run batch-last via
     :mod:`batchlast` (env axis in TPU lanes), the Newton constraint solve as
@@ -140,15 +148,22 @@ def step_batch(model: Model, states: State,
             and has_joint_rows and step_pallas.is_concrete_model(model)):
         # a model without rangefinder sites has nothing to fuse (a zero-row
         # kernel output is invalid); the (new, None) contract covers it
+        fuse_env = with_env if model.nsite > 0 else None
         fuse_lidar = with_lidar and model.nsite > 0
         fn = step_pallas.build_step_fn(model, model.solver_iterations,
                                        model.ls_iterations,
-                                       with_lidar=fuse_lidar)
-        outs = fn(states.qpos, states.qvel, states.ctrl)
+                                       with_lidar=fuse_lidar,
+                                       with_env=fuse_env)
+        if fuse_env is not None:
+            outs = fn(states.qpos, states.qvel, states.ctrl, env_in)
+        else:
+            outs = fn(states.qpos, states.qvel, states.ctrl)
         qpos_n, qvel_n, xpos_n, xquat_n = outs[:4]
         new = states.replace(qpos=qpos_n, qvel=qvel_n,
                              time=states.time + model.timestep,
                              xpos=xpos_n, xquat=xquat_n)
+        if with_env is not None:
+            return (new, outs[4] if fuse_env is not None else None)
         if with_lidar:
             return (new, outs[4] if fuse_lidar else None)
         return new
@@ -216,7 +231,7 @@ def step_batch(model: Model, states: State,
     xquat = jnp.stack([x.T for x in xquat_l], axis=1)
     new = states.replace(qpos=qpos_new_bl.T, qvel=qvel_new_bl.T,
                          time=states.time + h, xpos=xpos, xquat=xquat)
-    return (new, None) if with_lidar else new
+    return (new, None) if (with_lidar or with_env is not None) else new
 
 
 def step(model: Model, state: State) -> State:

@@ -92,3 +92,65 @@ def test_is_concrete_model(warm_states):
 
     jax.jit(probe)(model.dof_damping)
     assert recorded == [False]
+
+
+def test_megakernel_fused_env_matches_observe_and_reward(warm_states):
+    """with_env fuses the whole obs+reward pipeline: the env_out slab must
+    match _observe_batch + the env reward block computed on the kernel's
+    own post-step frames, for both the faithful and the sane/aliased/shaped
+    config variants."""
+    import numpy as np
+
+    env, model, phys, step_ref = warm_states
+    B_ = phys.qpos.shape[0]
+    rng = jax.random.PRNGKey(5)
+    ref_xy = jax.random.uniform(rng, (B_, 2), phys.qpos.dtype, -1.0, 1.0)
+    goal = jax.random.uniform(jax.random.PRNGKey(6), (B_, 2),
+                              phys.qpos.dtype, -3.0, 3.0)
+    prev_gd = jnp.linalg.norm(goal - ref_xy, axis=-1)
+    env_in = jnp.concatenate([ref_xy, goal, prev_gd[:, None]], axis=-1)
+
+    from mujoco_playground_tpu.envs.ackermann_env import (AckermannEnv,
+                                                          EnvConfig,
+                                                          OdometryRef)
+
+    for cfg_kw in (dict(),
+                   dict(collision_ignores_nohit=True,
+                        progress_reward_scale=3.0),
+                   dict(reference_lidar_aliasing=True)):
+        cfg = EnvConfig(**cfg_kw)
+        e = AckermannEnv(scene=env.scene, config=cfg,
+                         solver_iterations=4, ls_iterations=3)
+        statics = e._env_statics()
+        step_fn = step_pallas.build_step_fn(model, 4, 3, block_b=B_,
+                                            interpret=True,
+                                            with_env=statics)
+        qp, qv, xp, xq, slab = step_fn(phys.qpos, phys.qvel, phys.ctrl,
+                                       env_in)
+        ref = OdometryRef(
+            position=jnp.pad(ref_xy, ((0, 0), (0, 1))),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0], phys.qpos.dtype),
+                          (B_, 1)))
+        post = phys.replace(qpos=qp, qvel=qv, xpos=xp, xquat=xq)
+        obs, metrics = e._observe_batch(post, ref, goal)
+        ns = model.nsite
+        np.testing.assert_allclose(np.asarray(slab[:, :ns + 7]),
+                                   np.asarray(obs), rtol=1e-5, atol=1e-5)
+        gd = metrics["goal_distance"]
+        term = gd < cfg.goal_distance_threshold
+        want_reward = (-gd * 0.1 + jnp.where(term, 100.0, 0.0)
+                       + jnp.where(metrics["collision"], -50.0, 0.0)
+                       - 0.01
+                       + cfg.progress_reward_scale * (prev_gd - gd))
+        np.testing.assert_allclose(np.asarray(slab[:, ns + 7]),
+                                   np.asarray(want_reward),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(slab[:, ns + 8]),
+                                   np.asarray(gd), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(slab[:, ns + 9]),
+                                   np.asarray(metrics["min_lidar"]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(slab[:, ns + 10]) > 0.5,
+                                      np.asarray(metrics["collision"]))
+        np.testing.assert_array_equal(np.asarray(slab[:, ns + 11]) > 0.5,
+                                      np.asarray(term))
