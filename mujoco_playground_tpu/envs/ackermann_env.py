@@ -271,7 +271,7 @@ class AckermannEnv:
 
     # ------------------------------------------------- batched fast path
     def step_batch(self, states: EnvState, actions, models=None,
-                   base_model=None) -> EnvState:
+                   base_model=None, _fresh_xy=None):
         """Batched step (leaves carry a leading env axis).
 
         Semantics identical to ``vmap(step)``, but physics goes through
@@ -280,6 +280,11 @@ class AckermannEnv:
 
         Domain randomization: pass ``models`` (randomized leaves with a
         leading env axis) plus ``base_model``.
+
+        ``_fresh_xy`` (internal, from step_autoreset_batch): fresh spawn
+        xy per env; changes the return to ``(EnvState,
+        fresh_lidar_or_None)`` with the auto-reset continuation scan fused
+        into the same megakernel invocation.
         """
         cfg = self.config
         model = self.model if models is None else models
@@ -299,17 +304,23 @@ class AckermannEnv:
                         and not cfg.reference_delayed_obs
                         and base_model is None)
             if want_env:
-                env_in = jnp.concatenate(
-                    [states.odom_ref.position[:, :2], states.goal,
-                     states.prev_goal_distance[:, None]],
-                    axis=-1).astype(self.dtype)
+                cols = [states.odom_ref.position[:, :2], states.goal,
+                        states.prev_goal_distance[:, None]]
+                if _fresh_xy is not None:
+                    cols.append(_fresh_xy)
+                env_in = jnp.concatenate(cols, axis=-1).astype(self.dtype)
                 physics, env_slab = engine.step_batch(
                     model, physics, with_env=self._env_statics(),
-                    env_in=env_in)
+                    env_in=env_in,
+                    with_fresh=(self._fresh_statics()
+                                if _fresh_xy is not None else None))
             else:
                 physics = engine.step_batch(model, physics,
                                             base_model=base_model)
 
+        fresh_lidar = None
+        if env_slab is not None and _fresh_xy is not None:
+            fresh_lidar = env_slab[:, self.model.nsite + 12:]
         if env_slab is not None:
             # fused fast path: the kernel already assembled obs and the
             # reward/termination metrics (see step_pallas.build_step_fn)
@@ -322,12 +333,13 @@ class AckermannEnv:
             terminated = env_slab[:, ns + 11] > 0.5
             steps = states.steps + 1
             truncated = (steps >= cfg.max_episode_steps) & ~terminated
-            return states.replace(
+            new = states.replace(
                 physics=physics, obs=obs, final_obs=obs, reward=reward,
                 steps=steps, terminated=terminated, truncated=truncated,
                 done=terminated | truncated,
                 goal_distance=goal_distance, collision=collision,
                 min_lidar=min_lidar, prev_goal_distance=goal_distance)
+            return (new, fresh_lidar) if _fresh_xy is not None else new
 
         obs_src = states.physics if cfg.reference_delayed_obs else physics
         if base_model is None:
@@ -354,44 +366,75 @@ class AckermannEnv:
                   ).astype(self.dtype)
         steps = states.steps + 1
         truncated = (steps >= cfg.max_episode_steps) & ~terminated
-        return states.replace(
+        new = states.replace(
             physics=physics, obs=obs, final_obs=obs, reward=reward,
             steps=steps, terminated=terminated, truncated=truncated,
             done=terminated | truncated,
             goal_distance=goal_distance, collision=collision,
             min_lidar=metrics["min_lidar"], prev_goal_distance=goal_distance)
+        return (new, None) if _fresh_xy is not None else new
 
     def step_autoreset_batch(self, states: EnvState, actions) -> EnvState:
         """Batched step with in-step auto-reset (see step_autoreset).
 
         The fresh resets are built WITHOUT their own observation
-        (``reset_core``); instead the continuation observation is computed
-        once on the post-merge state — for surviving envs it equals the
-        step's observation, for reset envs it is the fresh episode's first
-        observation.  This halves the lidar scans per step vs the round-1
-        version (which ran a full vmapped ``reset`` including a second
-        scan).  Falls back to the explicit two-scan path under
-        ``reference_delayed_obs`` (there the step obs reflects the
-        pre-step state, so observe(merged) would not equal it).
+        (``reset_core``); the continuation observation for reset envs needs
+        only the fresh-spawn lidar (fresh odometry is exactly zero), which
+        the step megakernel scans in the SAME invocation as the step
+        (``_fresh_xy``) — one kernel dispatch per env step, no separate
+        continuation scan.  Off the megakernel path the continuation
+        observation is computed once on the post-merge state.  Falls back
+        to the explicit two-scan path under ``reference_delayed_obs``
+        (there the step obs reflects the pre-step state, so
+        observe(merged) would not equal it).
         """
-        st = self.step_batch(states, actions)
-        rngs = jax.vmap(jax.random.split)(st.rng)
-        done = st.done
-
-        def sel(a, b):
-            d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
-            return jnp.where(d, a, b)
-
         if self.config.reference_delayed_obs:
+            st = self.step_batch(states, actions)
+            rngs = jax.vmap(jax.random.split)(st.rng)
+            done = st.done
+
+            def sel(a, b):
+                d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
+                return jnp.where(d, a, b)
+
             fresh = jax.vmap(self.reset)(rngs[:, 1])
             fresh = fresh.replace(rng=rngs[:, 0])
             merged = jax.tree.map(sel, fresh, st)
         else:
+            # sample the fresh resets FIRST (same RNG stream as sampling
+            # them after the step — the step doesn't consume states.rng)
+            # so their spawn xy rides the step megakernel invocation
+            rngs = jax.vmap(jax.random.split)(states.rng)
             fresh = jax.vmap(self.reset_core)(rngs[:, 1])
             fresh = fresh.replace(rng=rngs[:, 0])
+            st, fresh_lidar = self.step_batch(
+                states, actions, _fresh_xy=fresh.physics.xpos[:, 1, :2])
+            done = st.done
+
+            def sel(a, b):
+                d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
+                return jnp.where(d, a, b)
+
             merged = jax.tree.map(sel, fresh, st)
-            obs, _ = self._observe_batch(merged.physics, merged.odom_ref,
-                                         merged.goal)
+            if fresh_lidar is not None:
+                # fresh obs: [lidar, 0, 0, heading0, gx, gy, |g|, angle] —
+                # odometry is exactly zero at reset and the template
+                # orientation is a compile-time constant
+                g = fresh.goal
+                gd0 = fresh.prev_goal_distance
+                heading0 = float(quat_to_yaw(self._template.xquat[1]))
+                ang = jnp.arctan2(g[:, 1], g[:, 0]) - heading0
+                ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
+                B = g.shape[0]
+                fresh_obs = jnp.concatenate([
+                    fresh_lidar,
+                    jnp.zeros((B, 2), self.dtype),
+                    jnp.full((B, 1), heading0, self.dtype),
+                    g, gd0[:, None], ang[:, None]], axis=-1)
+                obs = jnp.where(done[:, None], fresh_obs, st.obs)
+            else:
+                obs, _ = self._observe_batch(merged.physics,
+                                             merged.odom_ref, merged.goal)
             merged = merged.replace(obs=obs)
         return merged.replace(
             reward=st.reward, terminated=st.terminated, truncated=st.truncated,
@@ -409,6 +452,17 @@ class AckermannEnv:
                 float(cfg.progress_reward_scale),
                 bool(cfg.reference_lidar_aliasing),
                 bool(cfg.collision_ignores_nohit))
+
+    def _fresh_statics(self):
+        """Baked template frames for the megakernel's fused auto-reset
+        scan (reset_core poses = template + planar offset)."""
+        if not hasattr(self, "_fresh_statics_cache"):
+            t = self._template
+            self._fresh_statics_cache = (
+                tuple(tuple(float(v) for v in row) for row in t.xpos),
+                tuple(tuple(float(v) for v in row) for row in t.xquat),
+                (float(t.qpos[0]), float(t.qpos[1])))
+        return self._fresh_statics_cache
 
     def _observe_batch(self, physics: State, ref: OdometryRef, goal):
         """Batched observation (leaves carry a leading env axis).

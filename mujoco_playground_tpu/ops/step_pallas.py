@@ -849,7 +849,7 @@ def _lane(x, B, dtype):
 
 
 def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
-                 lidar_statics, env_statics, *refs):
+                 lidar_statics, env_statics, fresh_statics, *refs):
     if env_statics is not None:
         (qpos_ref, qvel_ref, ctrl_ref, env_in_ref,
          qpos_out, qvel_out, xpos_out, xquat_out, env_out) = refs
@@ -1020,10 +1020,27 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
                       + jnp.where(collision, -50.0, 0.0)
                       - 0.01
                       + prog_scale * (prev_gd - gd))
-            env_out[...] = jnp.stack(
-                rows + [px, py, heading, gx, gy, gd, ga,
-                        reward, gd, min_lidar,
-                        collision.astype(dtype), terminated.astype(dtype)])
+            out_rows = rows + [px, py, heading, gx, gy, gd, ga,
+                               reward, gd, min_lidar,
+                               collision.astype(dtype),
+                               terminated.astype(dtype)]
+            if fresh_statics is not None:
+                # auto-reset continuation scan: lidar at the fresh spawn
+                # pose (template orientation, planar offset) — the rest of
+                # a fresh observation is trivial (zero odometry, heading 0)
+                # and assembled by the caller in XLA
+                t_xpos, t_xquat, t_xy = fresh_statics
+                offx = env_in_ref[5] - t_xy[0]
+                offy = env_in_ref[6] - t_xy[1]
+                fbp = {b: [t_xpos[b][0] + offx, t_xpos[b][1] + offy,
+                           _lane(t_xpos[b][2], B, dtype)]
+                       for b in bodies}
+                fbq = {b: list(t_xquat[b]) for b in bodies}
+                frows = lidar_rows(*lidar_statics, fbp, fbq)
+                if aliasing:
+                    frows = [frows[71]] * 10 + frows[10:]
+                out_rows = out_rows + frows
+            env_out[...] = jnp.stack(out_rows)
 
 
 _BUILD_CACHE = {}
@@ -1031,7 +1048,8 @@ _BUILD_CACHE = {}
 
 def build_step_fn(model, iterations: int, ls_iterations: int,
                   block_b: int = BLOCK_B, interpret: bool = False,
-                  with_lidar: bool = False, with_env: tuple = None):
+                  with_lidar: bool = False, with_env: tuple = None,
+                  with_fresh: tuple = None):
     """Returns step(qpos (B,nq), qvel (B,nv), ctrl (B,nu)[, env_in (B,5)]) ->
     (qpos', qvel', xpos (B,nbody,3), xquat (B,nbody,4)[, lidar (B,nsite)
     | env_out (B, nsite+12)]).  B % block_b == 0.
@@ -1050,18 +1068,27 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
     heading, dx, dy, dist, angle]`` followed by ``[reward, goal_distance,
     min_lidar, collision, terminated]`` (flags as 0/1 floats).
 
+    ``with_fresh`` (requires ``with_env``) additionally scans the lidar at
+    the auto-reset spawn pose: pass ``(template_xpos, template_xquat,
+    template_chassis_xy)`` as nested float tuples; ``env_in`` widens to
+    ``(B, 7)`` with ``[..., fresh_x, fresh_y]`` appended and ``env_out``
+    gains ``nsite`` trailing rows of fresh-spawn lidar (aliased per the
+    env config, like the main scan).
+
     The model must be env-invariant (no domain-randomization batch axes) and
     concrete (not traced) — engine.step_batch falls back to the XLA path
     otherwise.
     """
     if with_env is not None:
         with_lidar = True
+    else:
+        with_fresh = None
     # the cached entry retains the model: id() keys are only unique while
     # the object is alive, so without the strong ref a GC'd model's id
     # could be reused and silently return a kernel baked with different
     # geometry
     key = (id(model), iterations, ls_iterations, block_b, interpret,
-           with_lidar, with_env)
+           with_lidar, with_env, with_fresh)
     if key in _BUILD_CACHE:
         return _BUILD_CACHE[key][1]
 
@@ -1073,7 +1100,7 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
     else:
         lstat = None
     kernel = functools.partial(_step_kernel, sm, iterations, ls_iterations,
-                               block_b, lstat, with_env)
+                               block_b, lstat, with_env, with_fresh)
 
     def spec(rows):
         return pl.BlockSpec((rows, block_b), lambda i: (0, i),
@@ -1085,7 +1112,7 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
         in_specs = [spec(sm.nq), spec(sm.nv), spec(sm.nu)]
         inputs = [qpos.T, qvel.T, ctrl.T]
         if with_env is not None:
-            in_specs.append(spec(5))
+            in_specs.append(spec(7 if with_fresh is not None else 5))
             inputs.append(env_in.T)
         out_specs = [spec(sm.nq), spec(sm.nv), spec(sm.nbody * 3),
                      spec(sm.nbody * 4)]
@@ -1096,7 +1123,11 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
             jax.ShapeDtypeStruct((sm.nbody * 4, B), dtype),
         ]
         if lstat is not None:
-            rows = nsite + 12 if with_env is not None else nsite
+            rows = nsite
+            if with_env is not None:
+                rows += 12
+            if with_fresh is not None:
+                rows += nsite
             out_specs.append(spec(rows))
             out_shape.append(jax.ShapeDtypeStruct((rows, B), dtype))
         outs = pl.pallas_call(

@@ -102,7 +102,7 @@ def batched_field_dict(model: Model, base_model: Model):
 
 def step_batch(model: Model, states: State,
                base_model: Model = None, with_lidar: bool = False,
-               with_env: tuple = None, env_in=None):
+               with_env: tuple = None, env_in=None, with_fresh: tuple = None):
     """Batched physics step — the TPU fast path (semantics == vmap(step)).
 
     ``with_lidar=True`` returns ``(states', lidar_or_None)``: on the
@@ -153,7 +153,8 @@ def step_batch(model: Model, states: State,
         fn = step_pallas.build_step_fn(model, model.solver_iterations,
                                        model.ls_iterations,
                                        with_lidar=fuse_lidar,
-                                       with_env=fuse_env)
+                                       with_env=fuse_env,
+                                       with_fresh=with_fresh)
         if fuse_env is not None:
             outs = fn(states.qpos, states.qvel, states.ctrl, env_in)
         else:

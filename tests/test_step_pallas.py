@@ -154,3 +154,67 @@ def test_megakernel_fused_env_matches_observe_and_reward(warm_states):
                                       np.asarray(metrics["collision"]))
         np.testing.assert_array_equal(np.asarray(slab[:, ns + 11]) > 0.5,
                                       np.asarray(term))
+
+
+def test_megakernel_fresh_scan_matches_raycast(warm_states):
+    """with_fresh appends fresh-spawn lidar rows: they must equal the
+    standalone raycast at the template pose translated to the fresh xy."""
+    import numpy as np
+
+    from mujoco_playground_tpu.physics import raycast
+
+    env, model, phys, step_ref = warm_states
+    B_ = phys.qpos.shape[0]
+    statics = env._env_statics()
+    fresh_statics = env._fresh_statics()
+    step_fn = step_pallas.build_step_fn(model, 4, 3, block_b=B_,
+                                        interpret=True, with_env=statics,
+                                        with_fresh=fresh_statics)
+    rng = jax.random.PRNGKey(11)
+    ref_xy = jnp.zeros((B_, 2), phys.qpos.dtype)
+    goal = jax.random.uniform(rng, (B_, 2), phys.qpos.dtype, -3.0, 3.0)
+    fresh_xy = jax.random.uniform(jax.random.PRNGKey(12), (B_, 2),
+                                  phys.qpos.dtype, -1.5, 1.5)
+    env_in = jnp.concatenate(
+        [ref_xy, goal, jnp.linalg.norm(goal, axis=-1)[:, None], fresh_xy],
+        axis=-1)
+    *_, slab = step_fn(phys.qpos, phys.qvel, phys.ctrl, env_in)
+    ns = model.nsite
+    assert slab.shape == (B_, 2 * ns + 12)
+
+    t = env._template
+    off = np.asarray(fresh_xy) - np.asarray(t.qpos[:2])   # (B, 2)
+    xpos = np.tile(np.asarray(t.xpos)[None], (B_, 1, 1))
+    xpos[:, 1:, :2] += off[:, None, :]
+    # world body 0 carries no sites; shift it too for a uniform transform
+    xpos[:, 0, :2] += off
+    xquat = np.tile(np.asarray(t.xquat)[None], (B_, 1, 1))
+    want = jax.vmap(lambda xp, xq: raycast.lidar(model, xp, xq))(
+        jnp.asarray(xpos, phys.qpos.dtype), jnp.asarray(xquat,
+                                                        phys.qpos.dtype))
+    np.testing.assert_allclose(np.asarray(slab[:, ns + 12:]),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_fresh_obs_assembly_matches_observe():
+    """The fused auto-reset's trivial obs tail (zero odometry, constant
+    heading, goal geometry) must equal _observe_batch on the fresh state."""
+    import numpy as np
+
+    env = make_ackermann_env("maze", "umaze", solver_iterations=2,
+                             ls_iterations=2)
+    B_ = 16
+    rngs = jax.random.split(jax.random.PRNGKey(4), B_)
+    fresh = jax.vmap(env.reset_core)(rngs)
+    obs, _ = env._observe_batch(fresh.physics, fresh.odom_ref, fresh.goal)
+    from mujoco_playground_tpu.physics.mathutil import quat_to_yaw
+    heading0 = float(quat_to_yaw(env._template.xquat[1]))
+    g = fresh.goal
+    ang = jnp.arctan2(g[:, 1], g[:, 0]) - heading0
+    ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
+    tail = jnp.concatenate([
+        jnp.zeros((B_, 2), obs.dtype),
+        jnp.full((B_, 1), heading0, obs.dtype),
+        g, fresh.prev_goal_distance[:, None], ang[:, None]], axis=-1)
+    np.testing.assert_allclose(np.asarray(obs[:, 72:]), np.asarray(tail),
+                               rtol=1e-5, atol=1e-6)
