@@ -34,6 +34,7 @@ Reference-fidelity notes (documented deviations, each opt-in reversible):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
@@ -81,6 +82,28 @@ class EnvConfig:
     # (Ng et al. 1999); use with --progress-reward for training runs that
     # aim past the reference's 0% success plateau.
     progress_reward_scale: float = 0.0
+
+
+def select_done(done, fresh, stepped):
+    """Branchless auto-reset merge: where `done`, take the fresh leaf
+    (broadcasting the (B,) flag over trailing leaf dims)."""
+    d = done.reshape(done.shape + (1,) * (fresh.ndim - done.ndim))
+    return jnp.where(d, fresh, stepped)
+
+
+def reward_terms(cfg, goal_distance, collision, terminated,
+                 prev_goal_distance):
+    """The env reward (reference ackermann_env.py:287-301 + opt-in
+    progress shaping).  Shared by step and the step_batch fallback; the
+    step megakernel bakes the SAME formula as lane arithmetic
+    (ops/step_pallas._step_kernel, parity-tested) — keep them in sync.
+    """
+    return (-goal_distance * 0.1
+            + jnp.where(terminated, 100.0, 0.0)
+            + jnp.where(collision, -50.0, 0.0)
+            - 0.01
+            + cfg.progress_reward_scale
+            * (prev_goal_distance - goal_distance))
 
 
 @struct.dataclass
@@ -232,13 +255,8 @@ class AckermannEnv:
         collision = metrics["collision"]
 
         terminated = goal_distance < cfg.goal_distance_threshold
-        reward = (-goal_distance * 0.1
-                  + jnp.where(terminated, 100.0, 0.0)
-                  + jnp.where(collision, -50.0, 0.0)
-                  - 0.01
-                  + cfg.progress_reward_scale
-                  * (state.prev_goal_distance - goal_distance)
-                  ).astype(self.dtype)
+        reward = reward_terms(cfg, goal_distance, collision, terminated,
+                              state.prev_goal_distance).astype(self.dtype)
         steps = state.steps + 1
         truncated = (steps >= cfg.max_episode_steps) & ~terminated
         return state.replace(
@@ -262,7 +280,8 @@ class AckermannEnv:
         st = self.step(state, action)
         rng, sub = jax.random.split(st.rng)
         fresh = self.reset(sub).replace(rng=rng)
-        merged = jax.tree.map(lambda a, b: jnp.where(st.done, a, b), fresh, st)
+        merged = jax.tree.map(functools.partial(select_done, st.done),
+                              fresh, st)
         return merged.replace(
             reward=st.reward, terminated=st.terminated, truncated=st.truncated,
             done=st.done, final_obs=st.final_obs,
@@ -357,13 +376,8 @@ class AckermannEnv:
         goal_distance = metrics["goal_distance"]
         collision = metrics["collision"]
         terminated = goal_distance < cfg.goal_distance_threshold
-        reward = (-goal_distance * 0.1
-                  + jnp.where(terminated, 100.0, 0.0)
-                  + jnp.where(collision, -50.0, 0.0)
-                  - 0.01
-                  + cfg.progress_reward_scale
-                  * (states.prev_goal_distance - goal_distance)
-                  ).astype(self.dtype)
+        reward = reward_terms(cfg, goal_distance, collision, terminated,
+                              states.prev_goal_distance).astype(self.dtype)
         steps = states.steps + 1
         truncated = (steps >= cfg.max_episode_steps) & ~terminated
         new = states.replace(
@@ -392,14 +406,10 @@ class AckermannEnv:
             st = self.step_batch(states, actions)
             rngs = jax.vmap(jax.random.split)(st.rng)
             done = st.done
-
-            def sel(a, b):
-                d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
-                return jnp.where(d, a, b)
-
             fresh = jax.vmap(self.reset)(rngs[:, 1])
             fresh = fresh.replace(rng=rngs[:, 0])
-            merged = jax.tree.map(sel, fresh, st)
+            merged = jax.tree.map(functools.partial(select_done, done),
+                                  fresh, st)
         else:
             # sample the fresh resets FIRST (same RNG stream as sampling
             # them after the step — the step doesn't consume states.rng)
@@ -410,12 +420,8 @@ class AckermannEnv:
             st, fresh_lidar = self.step_batch(
                 states, actions, _fresh_xy=fresh.physics.xpos[:, 1, :2])
             done = st.done
-
-            def sel(a, b):
-                d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
-                return jnp.where(d, a, b)
-
-            merged = jax.tree.map(sel, fresh, st)
+            merged = jax.tree.map(functools.partial(select_done, done),
+                                  fresh, st)
             if fresh_lidar is not None:
                 # fresh obs: [lidar, 0, 0, heading0, gx, gy, |g|, angle] —
                 # odometry is exactly zero at reset and the template

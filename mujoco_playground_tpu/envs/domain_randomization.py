@@ -17,12 +17,14 @@ Randomized quantities (all multiplicative log-uniform scales unless noted):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from mujoco_playground_tpu.envs.ackermann_env import AckermannEnv, EnvState
+from mujoco_playground_tpu.envs.ackermann_env import (AckermannEnv, EnvState,
+                                                      select_done)
 from mujoco_playground_tpu.physics.model import Model
 
 
@@ -118,13 +120,8 @@ class DomainRandomizedEnv:
         st = self.step_batch(states, actions)
         rngs = jax.vmap(jax.random.split)(st.rng)
         fresh = jax.vmap(self.env.reset)(rngs[:, 1]).replace(rng=rngs[:, 0])
-        done = st.done
-
-        def sel(a, b):
-            d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
-            return jnp.where(d, a, b)
-
-        merged = jax.tree.map(sel, fresh, st)
+        merged = jax.tree.map(functools.partial(select_done, st.done),
+                              fresh, st)
         return merged.replace(
             reward=st.reward, terminated=st.terminated, truncated=st.truncated,
             done=st.done, final_obs=st.final_obs,

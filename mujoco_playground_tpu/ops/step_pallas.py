@@ -1015,6 +1015,8 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
                 min_lidar = jnp.minimum(min_lidar, r)
             collision = min_lidar < coll_th
             terminated = gd < goal_th
+            # lane twin of envs.ackermann_env.reward_terms — keep in sync
+            # (parity: tests/test_step_pallas.py fused-env test)
             reward = (-gd * 0.1
                       + jnp.where(terminated, 100.0, 0.0)
                       + jnp.where(collision, -50.0, 0.0)

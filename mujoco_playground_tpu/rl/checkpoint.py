@@ -72,11 +72,20 @@ def restore_checkpoint(target: str, template) -> Any:
         template = jax.device_get(template)
         try:
             return ckpt.restore(target, template)
-        except (ValueError, KeyError, TypeError):
+        except (ValueError, KeyError, TypeError) as e:
             # Structure mismatch (old checkpoint, new state fields): restore
             # the raw stored tree, overlay it onto the template's serialized
             # form, and rebuild the dataclass structure — checkpoint leaves
-            # win, template-only leaves keep their values.
+            # win, template-only leaves keep their values.  This is meant
+            # for fields ADDED since the checkpoint was written; warn loudly
+            # because it also fires on genuine config mismatches (e.g. a
+            # different --num-envs), where the merged state will fail with
+            # a shape error downstream instead of here.
+            print(f"checkpoint: strict restore of {target} failed "
+                  f"({type(e).__name__}: {str(e)[:200]}); retrying with a "
+                  f"best-effort overlay (template values for missing "
+                  f"leaves). If the run config does not match the "
+                  f"checkpoint, expect shape errors downstream.")
             raw = ckpt.restore(target)
             ser = ocp.utils.serialize_tree(template, keep_empty_nodes=True)
 

@@ -82,8 +82,12 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
         return ts, {**roll_metrics, **upd_metrics}
 
     steps_per_iter = config.num_envs * config.unroll_length
-    next_save = config.save_freq
-    next_eval = config.eval_freq
+    # resume-aware counters: start from the restored global_step so a
+    # resumed run neither re-trains past its target nor floods saves/evals
+    # while the cadence counters catch up
+    start_gs = int(ts.global_step)
+    next_save = (start_gs // config.save_freq + 1) * config.save_freq
+    next_eval = (start_gs // config.eval_freq + 1) * config.eval_freq
 
     if profile_dir:
         # warm up (compile), then trace one full train step
@@ -104,7 +108,7 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
     # a full sync group.
     log_interval = max(1, 1_000_000 // steps_per_iter)
     t_start = time.time()
-    gs = 0
+    gs = start_gs
     t0 = time.time()
     prev = ts
     while gs < config.total_timesteps:
@@ -156,8 +160,9 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
                       f"success {stats['success_rate']*100:.1f}%")
     if verbose:
         total = time.time() - t_start
-        print(f"Done: {int(ts.global_step)} steps in {total:.1f}s "
-              f"({int(ts.global_step)/total/1e3:.1f}k steps/s)")
+        ran = int(ts.global_step) - start_gs   # steps THIS run (post-resume)
+        print(f"Done: {int(ts.global_step)} steps ({ran} this run) in "
+              f"{total:.1f}s ({ran/max(total, 1e-9)/1e3:.1f}k steps/s)")
     ckpt_lib.save_checkpoint(log_dir, ts, int(ts.global_step))
     return ts, env, network
 
@@ -286,6 +291,9 @@ def main(argv=None):
     print(f"obs (79,), act (2,), num_envs {config.num_envs}")
     print("=" * 60)
 
+    if args.eval_only and args.algo != "ppo":
+        raise SystemExit("--eval-only supports --algo ppo (SAC/TD3 runs "
+                         "do not checkpoint a restorable train state)")
     if args.algo == "random":
         env = build_env(config)
         run_random_baseline(env, episodes=args.episodes, seed=args.seed)
