@@ -168,8 +168,15 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
 
 
 def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
-                     eval_episodes: int = 10, verbose: bool = True):
-    """SAC/TD3 training loop (reference --algo sac/td3, train.py:108-121)."""
+                     eval_episodes: int = 10, verbose: bool = True,
+                     resume: bool = False, eval_only: bool = False):
+    """SAC/TD3 training loop (reference --algo sac/td3, train.py:108-121).
+
+    Checkpoints the FULL train state — params, targets, optimizers, env
+    states, RNG, and the replay buffer (the SB3 analog needs a separate
+    save_replay_buffer call; resuming without replay data changes
+    learning) — every ``save_freq`` env-steps and at exit.
+    """
     import dataclasses as _dc
 
     from mujoco_playground_tpu.rl import sac as sac_lib
@@ -181,18 +188,37 @@ def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
     init, make_step = (mod.make_sac(env, config) if algo == "sac"
                        else mod.make_td3(env, config))
     state = init(jax.random.PRNGKey(config.seed))
+    log_dir = os.path.join(config.log_dir, algo)
+    if resume or eval_only:
+        latest = ckpt_lib.latest_checkpoint(log_dir)
+        if latest:
+            state = ckpt_lib.restore_checkpoint(latest, state)
+            if verbose:
+                print(f"[{algo}] resumed from {latest}")
+        elif eval_only:
+            raise SystemExit(f"--eval-only: no checkpoint under {log_dir}")
+    if eval_only:
+        stats = evaluate_agent(env, mod.deterministic_policy(env, state),
+                               num_episodes=eval_episodes)
+        if verbose:
+            print(f"[{algo}] eval: return {stats['mean_return']:.1f} "
+                  f"± {stats['std_return']:.1f}, "
+                  f"success {stats['success_rate']*100:.1f}%")
+        return state, env
     # NOTE: buffer donation (donate_argnums) would avoid copying the replay
     # arrays per insert, but donation hangs the axon TPU tunnel on this rig;
     # XLA still reuses buffers well enough without it.
     warmup_step = jax.jit(make_step(random_actions=True))
     train_step = jax.jit(make_step(random_actions=False))
-    logger = MetricsLogger(os.path.join(config.log_dir, algo))
+    logger = MetricsLogger(log_dir)
 
     # Track the step count host-side (each iteration advances a fixed
     # number of env steps) — device readbacks every iteration are expensive.
     steps_per_iter = 4 * config.num_envs
     log_every = max(1, 100_000 // steps_per_iter)
-    gs = 0
+    start_gs = int(state.global_step)
+    gs = start_gs
+    next_save = (start_gs // config.save_freq + 1) * config.save_freq
     it = 0
     t0 = time.time()
     while gs < total_timesteps:
@@ -203,12 +229,19 @@ def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
         it += 1
         if it % log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
-            metrics["steps_per_second"] = gs / max(time.time() - t0, 1e-9)
+            metrics["steps_per_second"] = ((gs - start_gs)
+                                           / max(time.time() - t0, 1e-9))
             logger.log(gs, metrics)
             if verbose:
                 print(f"[{algo}] step {gs:>9d} | "
                       f"reward/step {metrics['mean_reward']:+8.3f} | "
                       f"{metrics['steps_per_second']/1e3:7.1f}k sps")
+            if gs >= next_save:
+                path = ckpt_lib.save_checkpoint(log_dir, state, gs)
+                next_save = (gs // config.save_freq + 1) * config.save_freq
+                if verbose:
+                    print(f"  checkpoint -> {path}")
+    ckpt_lib.save_checkpoint(log_dir, state, gs)
     stats = evaluate_agent(env, mod.deterministic_policy(env, state),
                            num_episodes=eval_episodes)
     if verbose:
@@ -291,15 +324,16 @@ def main(argv=None):
     print(f"obs (79,), act (2,), num_envs {config.num_envs}")
     print("=" * 60)
 
-    if args.eval_only and args.algo != "ppo":
-        raise SystemExit("--eval-only supports --algo ppo (SAC/TD3 runs "
-                         "do not checkpoint a restorable train state)")
+    if args.eval_only and args.algo == "random":
+        raise SystemExit("--eval-only needs a checkpointing algo "
+                         "(ppo/sac/td3)")
     if args.algo == "random":
         env = build_env(config)
         run_random_baseline(env, episodes=args.episodes, seed=args.seed)
     elif args.algo in ("sac", "td3"):
         train_off_policy(config, args.algo, args.timesteps,
-                         eval_episodes=args.eval_episodes)
+                         eval_episodes=args.eval_episodes,
+                         resume=args.resume, eval_only=args.eval_only)
     elif args.algo == "ppo":
         ts, env, network = train_ppo(config, resume=args.resume,
                                      profile_dir=args.profile,
