@@ -23,6 +23,14 @@ from mujoco_playground_tpu.physics import mathutil as mu
 from mujoco_playground_tpu.physics.model import JNT_FREE, JNT_HINGE, JNT_SLIDE, Model
 from mujoco_playground_tpu.physics.state import State
 
+# Test knob: set to a block size (e.g. 8) to take the Pallas megakernel path
+# on CPU too, in interpret mode with that block.  Lets the suite trace the
+# FULL fused TPU hot path — step_batch's fused obs/reward gate,
+# step_autoreset_batch's fresh-lidar branch — so trace-time bugs that only
+# fire when the megakernel returns a slab (round-2 TPU bench crash,
+# envs/ackermann_env.py heading0) are caught on the CPU rig.
+FORCE_MEGAKERNEL = False
+
 
 def actuator_force(model: Model, qpos, qvel, ctrl):
     """Affine actuator model: clip(gain*ctrl + b0 + b1*q + b2*qdot, forcerange)."""
@@ -144,7 +152,9 @@ def step_batch(model: Model, states: State,
     # stacks per-row lanes and requires nj >= 1
     has_joint_rows = (len(model.eq_dof_pairs) + len(model.friction_dofs)
                       + 2 * len(model.limited_dofs)) > 0
-    if (on_tpu and base_model is None and B % step_pallas.BLOCK_B == 0
+    block_b = (step_pallas.BLOCK_B if on_tpu
+               else int(FORCE_MEGAKERNEL) if FORCE_MEGAKERNEL else 0)
+    if (block_b and base_model is None and B % block_b == 0
             and has_joint_rows and step_pallas.is_concrete_model(model)):
         # a model without rangefinder sites has nothing to fuse (a zero-row
         # kernel output is invalid); the (new, None) contract covers it
@@ -152,6 +162,8 @@ def step_batch(model: Model, states: State,
         fuse_lidar = with_lidar and model.nsite > 0
         fn = step_pallas.build_step_fn(model, model.solver_iterations,
                                        model.ls_iterations,
+                                       block_b=block_b,
+                                       interpret=not on_tpu,
                                        with_lidar=fuse_lidar,
                                        with_env=fuse_env,
                                        with_fresh=with_fresh)

@@ -1,0 +1,186 @@
+"""TPU smoke gate: compile AND RUN every public TPU entry point on the chip.
+
+Round 2 shipped megakernel fusions that interpret-mode CPU tests could not
+fault (Mosaic lowering failures only appear when compiling for real TPU) and
+that crashed the driver bench (VERDICT r2 weak #1-2, #4).  This script is the
+gate that makes that impossible to repeat: it drives the exact code paths of
+bench.py, the PPO/SAC/TD3 trainers, the evaluator, and the DR path for two
+real steps each on the device, tiny shapes, and fails loudly.
+
+Run it on the real chip before ending any round that touched the hot path
+(CLAUDE.md rule), and commit the output:
+
+    PYTHONPATH=/root/repo:/root/.axon_site \
+    JAX_COMPILATION_CACHE_DIR=~/.cache/jax_comp \
+        python scripts/tpu_smoke.py | tee TPU_SMOKE.txt
+
+Reference analog: the reference's only integration check is running
+--algo random end-to-end (src/rl/train.py:189-227).
+"""
+import os
+import subprocess
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+B = 256          # smallest megakernel batch (ops/step_pallas.BLOCK_B)
+T = 2
+FAILED = []
+
+
+def check(name):
+    def deco(fn):
+        def run():
+            t0 = time.time()
+            try:
+                out = fn()
+                dt = time.time() - t0
+                print(f"PASS  {name:34s} {dt:7.1f}s  {out}", flush=True)
+            except Exception:
+                dt = time.time() - t0
+                print(f"FAIL  {name:34s} {dt:7.1f}s", flush=True)
+                traceback.print_exc()
+                FAILED.append(name)
+        return run
+    return deco
+
+
+def make_env():
+    from mujoco_playground_tpu.envs import make_ackermann_env
+    return make_ackermann_env("maze", "umaze", solver_iterations=4,
+                              ls_iterations=3)
+
+
+@check("bench rollout (step_autoreset_batch)")
+def smoke_bench():
+    env = make_env()
+    states = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+
+    def rollout(states, keys):
+        def body(s, key):
+            acts = jax.random.uniform(key, (B, 2), minval=-1.0, maxval=1.0)
+            return env.step_autoreset_batch(s, acts), ()
+        out, _ = jax.lax.scan(body, states, keys)
+        return out
+
+    keys = jax.random.split(jax.random.PRNGKey(1), T)
+    states = jax.jit(rollout)(states, keys)
+    jax.block_until_ready(states.obs)
+    assert bool(jnp.all(jnp.isfinite(states.obs))), "non-finite obs"
+    return f"mean_reward={float(states.reward.mean()):.3f}"
+
+
+@check("evaluate (step_batch)")
+def smoke_evaluate():
+    from mujoco_playground_tpu.rl.evaluate import evaluate_agent
+    env = make_env()
+    policy = lambda obs: jnp.zeros((obs.shape[0], 2), obs.dtype)
+    m = evaluate_agent(env, policy, num_episodes=B, max_steps=T)
+    return f"mean_return={m['mean_return']:.3f}"
+
+
+def _rl_config():
+    from mujoco_playground_tpu.rl.config import RLConfig
+    return RLConfig(num_envs=B, unroll_length=4, num_minibatches=2,
+                    ppo_epochs=1, sac_batch_size=64)
+
+
+@check("PPO train step")
+def smoke_ppo():
+    from mujoco_playground_tpu.rl import networks, ppo
+    env = make_env()
+    cfg = _rl_config()
+    net = networks.ActorCritic(action_size=env.action_size)
+    ts = ppo.init_train_state(env, net, cfg, jax.random.PRNGKey(0))
+    train_step = jax.jit(ppo.make_train_step(env, net, cfg))
+    for _ in range(T):
+        ts, metrics = train_step(ts)
+    jax.block_until_ready(ts.params)
+    loss = float(metrics["policy_loss"]) + float(metrics["value_loss"])
+    assert loss == loss, "NaN loss"
+    return f"loss={loss:.4f}"
+
+
+@check("SAC train step")
+def smoke_sac():
+    from mujoco_playground_tpu.rl import sac
+    env = make_env()
+    init, make_step = sac.make_sac(env, _rl_config(), collect_steps=2,
+                                   grad_steps=1)
+    state = init(jax.random.PRNGKey(0))
+    step = jax.jit(make_step(random_actions=True))
+    for _ in range(T):
+        state, metrics = step(state)
+    jax.block_until_ready(state.actor_params)
+    return f"mean_reward={float(metrics['mean_reward']):.3f}"
+
+
+@check("TD3 train step")
+def smoke_td3():
+    from mujoco_playground_tpu.rl import td3
+    env = make_env()
+    init, make_step = td3.make_td3(env, _rl_config(), collect_steps=2,
+                                   grad_steps=1)
+    state = init(jax.random.PRNGKey(0))
+    step = jax.jit(make_step(random_actions=True))
+    for _ in range(T):
+        state, metrics = step(state)
+    jax.block_until_ready(state.actor_params)
+    return f"mean_reward={float(metrics['mean_reward']):.3f}"
+
+
+@check("DR rollout (randomized models)")
+def smoke_dr():
+    from mujoco_playground_tpu.envs.domain_randomization import \
+        DomainRandomizedEnv
+    env = make_env()
+    dr = DomainRandomizedEnv(env, B, jax.random.PRNGKey(2))
+    states = dr.reset(jax.random.split(jax.random.PRNGKey(3), B))
+
+    def rollout(states, keys):
+        def body(s, key):
+            acts = jax.random.uniform(key, (B, 2), minval=-1.0, maxval=1.0)
+            return dr.step_autoreset_batch(s, acts), ()
+        out, _ = jax.lax.scan(body, states, keys)
+        return out
+
+    keys = jax.random.split(jax.random.PRNGKey(4), T)
+    states = jax.jit(rollout)(states, keys)
+    jax.block_until_ready(states.obs)
+    assert bool(jnp.all(jnp.isfinite(states.obs))), "non-finite obs"
+    return f"mean_reward={float(states.reward.mean()):.3f}"
+
+
+def main():
+    commit = subprocess.run(
+        ["git", "-C", os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True).stdout.strip()
+    dev = jax.devices()[0]
+    print(f"tpu_smoke @ commit {commit}  device={dev.device_kind} "
+          f"({dev.platform})", flush=True)
+    if dev.platform == "cpu":
+        print("WARNING: running on CPU — this does NOT validate Mosaic "
+              "lowering; run on the real chip.", flush=True)
+    for fn in (smoke_bench, smoke_evaluate, smoke_ppo, smoke_sac, smoke_td3,
+               smoke_dr):
+        fn()
+    if FAILED:
+        print(f"SMOKE FAILED: {FAILED}", flush=True)
+        sys.exit(1)
+    print("SMOKE OK: all public TPU entry points compiled and ran.",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
