@@ -30,151 +30,264 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_B = 256
 
 
-def _cholesky_solve_lanes(H, g, n):
-    """Solve H x = g; H is an n x n list-of-lists of (B,) lane vectors."""
-    L = [[None] * n for _ in range(n)]
+# --------------------------------------------------------------------------
+# static-zero-pruning scalar helpers (shared with step_pallas): operands are
+# Python floats (static) or (B,) lane arrays; exact float zeros vanish at
+# trace time.  This is how branch-induced sparsity (a contact row touches
+# only the base + its wheel's chain dofs) turns into pruned kernel code.
+
+def _is0(x):
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def smul(a, b):
+    if _is0(a) or _is0(b):
+        return 0.0
+    return a * b
+
+
+def sadd(*xs):
+    out = None
+    for x in xs:
+        if _is0(x):
+            continue
+        out = x if out is None else out + x
+    return 0.0 if out is None else out
+
+
+def ssub(a, b):
+    if _is0(b):
+        return a
+    if _is0(a):
+        return 0.0 - b if not isinstance(b, (int, float)) else -b
+    return a - b
+
+
+def _cholesky_solve_lanes(H, g, n, order=None):
+    """Solve H x = g (SPD); H an n x n list-of-lists of (B,) lanes and/or
+    static-zero Python floats, g a list of lanes/floats.
+
+    Static zeros prune at trace time, so a tree-sparse H factors in the
+    fill-reduced op count.  ``order`` permutes the elimination sequence —
+    pass leaves-first (non-base dofs before the free joint) so wheel-chain
+    columns eliminate before the dense base block and create no fill-in
+    (Featherstone's branch-induced-sparsity order).  Pure permutation:
+    identical solution up to rounding, for any order.
+    """
+    p = list(order) if order is not None else list(range(n))
+    Hp = [[H[p[i]][p[j]] for j in range(n)] for i in range(n)]
+    gp = [g[p[i]] for i in range(n)]
+    L = [[0.0] * n for _ in range(n)]
     for j in range(n):
-        s = [H[i][j] for i in range(n)]
+        s = [Hp[i][j] for i in range(n)]
         for k in range(j):
             ljk = L[j][k]
+            if _is0(ljk):
+                continue
             for i in range(j, n):
-                s[i] = s[i] - L[i][k] * ljk
+                s[i] = ssub(s[i], smul(L[i][k], ljk))
         d = jax.lax.rsqrt(jnp.maximum(s[j], 1e-30))
         for i in range(j, n):
-            L[i][j] = s[i] * d
-    y = [None] * n
+            L[i][j] = smul(s[i], d)
+    y = [0.0] * n
     for i in range(n):
-        s = g[i]
+        s = gp[i]
         for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
-    x = [None] * n
+            s = ssub(s, smul(L[i][k], y[k]))
+        y[i] = s / L[i][i] if not _is0(s) else 0.0
+    x = [0.0] * n
     for i in reversed(range(n)):
         s = y[i]
         for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
-    return x
+            s = ssub(s, smul(L[k][i], x[k]))
+        x[i] = s / L[i][i] if not _is0(s) else 0.0
+    xout = [0.0] * n
+    for i in range(n):
+        xout[p[i]] = x[i]
+    return xout
 
 
-def newton_body(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
-                Mt, a_s, Gt, j_aref, jRinv, j_floss, j_active,
-                Jnt, Jt1t, Jt2t, c_aref, cRinv, mu, c_active):
-    """The Newton loop on loaded VMEM values (reused by the fused step kernel).
+def newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups,
+                order=None):
+    """The Newton loop on structure-grouped lanes (reused by the fused step
+    kernel and the standalone Newton kernel).
 
-    Shapes: Mt (nv, nv, B); a_s (nv, B); Gt (nv, nj, B); j_* (nj, B);
-    Jnt/Jt1t/Jt2t (nv, nc, B); c_aref (4, nc, B); c-rows (nc, B).
-    Returns the solution as a list of nv (B,) lane vectors.
+    Inputs:
+      M        nv x nv list-of-lists; entries (B,) lanes or static floats
+               (CRBA's branch-induced zeros prune at trace time).
+      a_s      list of nv (B,) lanes (smooth acceleration).
+      jrows    per joint row: dict(G=list of nv lane/float entries, aref,
+               Rinv, floss, active, is_eq, is_fric) — few rows (eq/
+               friction/limit), handled per-row with static-zero pruning.
+      cgroups  contact rows GROUPED by static Jacobian sparsity pattern:
+               dict(dofs=tuple of touched dof indices,
+                    Jn/Jt1/Jt2=list over dofs of (ncg, B) stacks,
+                    aref4=list of 4 (ncg, B), Rinv/active=(ncg, B),
+                    mu=(ncg, 1) static or (ncg, B)).
+      order    Cholesky elimination order (see _cholesky_solve_lanes).
+
+    Grouping is the layout compromise the TPU wants: a contact row touches
+    only the base + its wheel's chain (~7 of 12 dofs), so restricting the
+    Hessian/apply/accumulate loops to each group's dof set cuts the
+    dominant flops ~2.5x vs dense (nv, nc, B) — while keeping rows stacked
+    per group so the op count (trace size, interpret speed, Mosaic
+    unrolling) stays within ~2x of the dense kernel, unlike fully per-row
+    scalarization which explodes it 15x.  One group holding all rows with
+    dofs=(0..nv-1) reproduces the dense layout exactly (the standalone
+    kernel path).  Numerics are the dense loop's exactly (same terms, same
+    iteration structure).  Returns a list of nv (B,) lane vectors.
     """
-    def joint_forces(xj):
-        # Static row kinds -> unrolled per row; ops on (B,) lane vectors.
-        f_rows, q_rows = [], []
-        for r in range(nj):
-            raw = -xj[r] * jRinv[r]
-            if is_eq[r]:
-                f, q = raw, jnp.ones_like(raw)
-            elif is_fric[r]:
-                f = jnp.clip(raw, -j_floss[r], j_floss[r])
-                q = (jnp.abs(raw) < j_floss[r]).astype(raw.dtype)
-            else:
-                f = jnp.maximum(raw, 0.0)
-                q = (raw > 0).astype(raw.dtype)
-            f_rows.append(f * j_active[r])
-            q_rows.append(q * j_active[r])
-        return jnp.stack(f_rows), jnp.stack(q_rows)
+    def japply(Jlist, avec):
+        return sadd(*[smul(Jlist[v], avec[v]) for v in range(nv)])
 
-    def contact_forces4(x4):
-        f4, q4 = [], []
-        for k in range(4):
-            raw = -x4[k] * cRinv
-            f4.append(jnp.maximum(raw, 0.0) * c_active)
-            q4.append((x4[k] < 0).astype(raw.dtype) * c_active)
+    def gapply(Jg, dofs, avec):
+        acc = None
+        for i, v in enumerate(dofs):
+            a = avec[v]
+            if _is0(a):
+                continue
+            t = Jg[i] * (a[None, :] if hasattr(a, "ndim") else a)
+            acc = t if acc is None else acc + t
+        return 0.0 if acc is None else acc
+
+    def joint_force(r, x):
+        raw = -x * r["Rinv"]
+        if r["is_eq"]:
+            f, q = raw, jnp.ones_like(raw)
+        elif r["is_fric"]:
+            f = jnp.clip(raw, -r["floss"], r["floss"])
+            q = (jnp.abs(raw) < r["floss"]).astype(raw.dtype)
+        else:
+            f = jnp.maximum(raw, 0.0)
+            q = (raw > 0).astype(raw.dtype)
+        return smul(f, r["active"]), smul(q, r["active"])
+
+    def contact_forces4(g, x4):
+        f4 = [jnp.maximum(-x4[k] * g["Rinv"], 0.0) * g["active"]
+              for k in range(4)]
+        q4 = [(x4[k] < 0).astype(f4[0].dtype) * g["active"] for k in range(4)]
         return f4, q4
 
-    def rows_apply(Jt_arr, avec):
-        """(nv, rows, B) applied to per-dof list avec -> (rows, B)."""
-        acc = Jt_arr[0] * avec[0][None, :]
-        for v in range(1, nv):
-            acc = acc + Jt_arr[v] * avec[v][None, :]
-        return acc
-
-    def pyr4(an, at1, at2):
+    def pyr4(mu, an, at1, at2):
         return [an + mu * at1, an - mu * at1, an + mu * at2, an - mu * at2]
 
     def row_values(avec):
-        xj = rows_apply(Gt, avec) - j_aref
-        an = rows_apply(Jnt, avec)
-        at1 = rows_apply(Jt1t, avec)
-        at2 = rows_apply(Jt2t, avec)
-        p = pyr4(an, at1, at2)
-        return xj, [p[k] - c_aref[k] for k in range(4)]
+        xj = [ssub(japply(r["G"], avec), r["aref"]) for r in jrows]
+        x4 = []
+        for g in cgroups:
+            p = pyr4(g["mu"], gapply(g["Jn"], g["dofs"], avec),
+                     gapply(g["Jt1"], g["dofs"], avec),
+                     gapply(g["Jt2"], g["dofs"], avec))
+            x4.append([p[k] - g["aref4"][k] for k in range(4)])
+        return xj, x4
 
     def jt_f(fj, f4):
-        fn = f4[0] + f4[1] + f4[2] + f4[3]
-        ft1 = mu * (f4[0] - f4[1])
-        ft2 = mu * (f4[2] - f4[3])
-        return [jnp.sum(Gt[v] * fj, axis=0) + jnp.sum(Jnt[v] * fn, axis=0)
-                + jnp.sum(Jt1t[v] * ft1, axis=0)
-                + jnp.sum(Jt2t[v] * ft2, axis=0) for v in range(nv)]
+        out = [0.0] * nv
+        for r, f in zip(jrows, fj):
+            for v in range(nv):
+                out[v] = sadd(out[v], smul(r["G"][v], f))
+        for g, fc in zip(cgroups, f4):
+            fn = fc[0] + fc[1] + fc[2] + fc[3]
+            ft1 = g["mu"] * (fc[0] - fc[1])
+            ft2 = g["mu"] * (fc[2] - fc[3])
+            for i, v in enumerate(g["dofs"]):
+                out[v] = sadd(out[v],
+                              jnp.sum(g["Jn"][i] * fn + g["Jt1"][i] * ft1
+                                      + g["Jt2"][i] * ft2, axis=0))
+        return out
 
     def Mtv(dvec):
-        # Mt[v] is a leading-dim slice (nv, B); dvec a list of (B,)
-        return [sum(Mt[v][w] * dvec[w] for w in range(nv)) for v in range(nv)]
+        return [sadd(*[smul(M[v][w], dvec[w]) for w in range(nv)])
+                for v in range(nv)]
 
     avec = [a_s[v] for v in range(nv)]
     a_s_vec = list(avec)
     for _it in range(iterations):
         xj, x4 = row_values(avec)
-        fj, quadj = joint_forces(xj)
-        f4, quad4 = contact_forces4(x4)
+        fq_j = [joint_force(r, x) for r, x in zip(jrows, xj)]
+        fj = [f for f, _ in fq_j]
+        fq_c = [contact_forces4(g, x) for g, x in zip(cgroups, x4)]
+        f4 = [f for f, _ in fq_c]
         jtf = jt_f(fj, f4)
-        diff = [avec[v] - a_s_vec[v] for v in range(nv)]
+        diff = [ssub(avec[v], a_s_vec[v]) for v in range(nv)]
         Mdiff = Mtv(diff)
-        grad = [Mdiff[v] - jtf[v] for v in range(nv)]
+        grad = [ssub(Mdiff[v], jtf[v]) for v in range(nv)]
 
-        wj = quadj * jRinv                       # (nj, B)
-        w4 = [quad4[k] * cRinv for k in range(4)]
-        w01 = w4[0] + w4[1]
-        w23 = w4[2] + w4[3]
-        W00 = w01 + w23
-        W01 = mu * (w4[0] - w4[1])
-        W02 = mu * (w4[2] - w4[3])
-        W11 = mu * mu * w01
-        W22 = mu * mu * w23
-        U1 = [W00 * Jnt[v] + W01 * Jt1t[v] + W02 * Jt2t[v] for v in range(nv)]
-        U2 = [W01 * Jnt[v] + W11 * Jt1t[v] for v in range(nv)]
-        U3 = [W02 * Jnt[v] + W22 * Jt2t[v] for v in range(nv)]
-        Gw = [Gt[v] * wj for v in range(nv)]
+        # Hessian: M + G^T w G (per joint row) + the pyramid blocks
+        # J U^T (per contact group), built only on each group's dof set
         H = [[None] * nv for _ in range(nv)]
         for v in range(nv):
             for w in range(v, nv):
-                h = Mt[v][w] + jnp.sum(Gw[v] * Gt[w], axis=0)
-                h = h + jnp.sum(Jnt[v] * U1[w], axis=0)
-                h = h + jnp.sum(Jt1t[v] * U2[w], axis=0)
-                h = h + jnp.sum(Jt2t[v] * U3[w], axis=0)
-                if v == w:
-                    h = h + 1e-9
-                H[v][w] = h
-                H[w][v] = h
-        delta = _cholesky_solve_lanes(H, [-g for g in grad], nv)
+                H[v][w] = M[v][w]
+        for r, (_, q) in zip(jrows, fq_j):
+            wjr = smul(q, r["Rinv"])
+            for v in range(nv):
+                if _is0(r["G"][v]):
+                    continue
+                for w in range(v, nv):
+                    if _is0(r["G"][w]):
+                        continue
+                    H[v][w] = sadd(H[v][w],
+                                   smul(smul(r["G"][v], wjr), r["G"][w]))
+        for g, (_, q4) in zip(cgroups, fq_c):
+            w4 = [q4[k] * g["Rinv"] for k in range(4)]
+            w01 = w4[0] + w4[1]
+            w23 = w4[2] + w4[3]
+            mu = g["mu"]
+            W00 = w01 + w23
+            W01 = mu * (w4[0] - w4[1])
+            W02 = mu * (w4[2] - w4[3])
+            W11 = mu * mu * w01
+            W22 = mu * mu * w23
+            dofs = g["dofs"]
+            U1 = [W00 * g["Jn"][i] + W01 * g["Jt1"][i] + W02 * g["Jt2"][i]
+                  for i in range(len(dofs))]
+            U2 = [W01 * g["Jn"][i] + W11 * g["Jt1"][i]
+                  for i in range(len(dofs))]
+            U3 = [W02 * g["Jn"][i] + W22 * g["Jt2"][i]
+                  for i in range(len(dofs))]
+            for i, v in enumerate(dofs):
+                for jj, w in enumerate(dofs):
+                    if w < v:
+                        continue
+                    H[v][w] = sadd(H[v][w], jnp.sum(
+                        g["Jn"][i] * U1[jj] + g["Jt1"][i] * U2[jj]
+                        + g["Jt2"][i] * U3[jj], axis=0))
+        for v in range(nv):
+            H[v][v] = H[v][v] + 1e-9
+            for w in range(v + 1, nv):
+                H[w][v] = H[v][w]
+        delta = _cholesky_solve_lanes(H, [ssub(0.0, g_) for g_ in grad], nv,
+                                      order=order)
 
-        jdj = rows_apply(Gt, delta)
-        jd4 = pyr4(rows_apply(Jnt, delta), rows_apply(Jt1t, delta),
-                   rows_apply(Jt2t, delta))
+        jdj = [japply(r["G"], delta) for r in jrows]
+        jd4 = [pyr4(g["mu"], gapply(g["Jn"], g["dofs"], delta),
+                    gapply(g["Jt1"], g["dofs"], delta),
+                    gapply(g["Jt2"], g["dofs"], delta)) for g in cgroups]
         Md = Mtv(delta)
-        dMd = sum(delta[v] * Md[v] for v in range(nv))
-        dM_as = sum(delta[v] * Mdiff[v] for v in range(nv))
+        dMd = sadd(*[smul(delta[v], Md[v]) for v in range(nv)])
+        dM_as = sadd(*[smul(delta[v], Mdiff[v]) for v in range(nv)])
         alpha = jnp.ones_like(dMd)
         for _ls in range(ls_iterations):
-            fj_a, quadj_a = joint_forces(xj + alpha[None, :] * jdj)
-            x4_a = [x4[k] + alpha[None, :] * jd4[k] for k in range(4)]
-            f4_a, quad4_a = contact_forces4(x4_a)
-            dphi = dM_as + alpha * dMd - jnp.sum(jdj * fj_a, axis=0)
-            ddphi = dMd + jnp.sum(quadj_a * jRinv * jdj * jdj, axis=0)
-            for k in range(4):
-                dphi = dphi - jnp.sum(jd4[k] * f4_a[k], axis=0)
-                ddphi = ddphi + jnp.sum(quad4_a[k] * cRinv * jd4[k] * jd4[k],
-                                        axis=0)
+            dphi = dM_as + alpha * dMd
+            ddphi = dMd
+            for r, xr, jd in zip(jrows, xj, jdj):
+                if _is0(jd):
+                    continue
+                f_a, q_a = joint_force(r, xr + alpha * jd)
+                dphi = ssub(dphi, smul(jd, f_a))
+                ddphi = sadd(ddphi, smul(smul(q_a, r["Rinv"]), jd * jd))
+            for g, xc, jdc in zip(cgroups, x4, jd4):
+                x4_a = [xc[k] + alpha[None, :] * jdc[k] for k in range(4)]
+                f4_a, q4_a = contact_forces4(g, x4_a)
+                acc_d = acc_dd = None
+                for k in range(4):
+                    td = jdc[k] * f4_a[k]
+                    tdd = q4_a[k] * g["Rinv"] * jdc[k] * jdc[k]
+                    acc_d = td if acc_d is None else acc_d + td
+                    acc_dd = tdd if acc_dd is None else acc_dd + tdd
+                dphi = dphi - jnp.sum(acc_d, axis=0)
+                ddphi = ddphi + jnp.sum(acc_dd, axis=0)
             alpha = jnp.clip(alpha - dphi / jnp.maximum(ddphi, 1e-12),
                              0.0, 2.0)
         avec = [avec[v] + alpha * delta[v] for v in range(nv)]
@@ -186,12 +299,30 @@ def _newton_kernel(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
                    Mt_ref, a_s_ref, Gt_ref, j_aref_ref, j_R_ref, j_floss_ref,
                    j_active_ref, Jnt_ref, Jt1t_ref, Jt2t_ref, c_aref_ref,
                    c_R_ref, c_mu_ref, c_active_ref, out_ref):
-    avec = newton_body(
-        nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
-        Mt_ref[...], a_s_ref[...], Gt_ref[...], j_aref_ref[...],
-        1.0 / j_R_ref[...], j_floss_ref[...], j_active_ref[...],
-        Jnt_ref[...], Jt1t_ref[...], Jt2t_ref[...], c_aref_ref[...],
-        1.0 / c_R_ref[...], c_mu_ref[...], c_active_ref[...])
+    # array refs -> the list structure newton_body consumes (entries here
+    # are all runtime lanes — the standalone kernel receives the system
+    # from HBM, so there is no static sparsity to prune; the fused step
+    # kernel builds these lists with static zeros instead)
+    Mt, Gt = Mt_ref[...], Gt_ref[...]
+    Jnt, Jt1t, Jt2t = Jnt_ref[...], Jt1t_ref[...], Jt2t_ref[...]
+    j_aref, j_R = j_aref_ref[...], j_R_ref[...]
+    j_floss, j_active = j_floss_ref[...], j_active_ref[...]
+    c_aref, c_R = c_aref_ref[...], c_R_ref[...]
+    c_mu, c_active = c_mu_ref[...], c_active_ref[...]
+    M = [[Mt[v][w] for w in range(nv)] for v in range(nv)]
+    a_s = [a_s_ref[v] for v in range(nv)]
+    jrows = [dict(G=[Gt[v][r] for v in range(nv)], aref=j_aref[r],
+                  Rinv=1.0 / j_R[r], floss=j_floss[r], active=j_active[r],
+                  is_eq=is_eq[r], is_fric=is_fric[r]) for r in range(nj)]
+    # one all-dof group == the dense layout (no static sparsity to exploit
+    # when the system arrives from HBM)
+    cgroups = [dict(dofs=tuple(range(nv)),
+                    Jn=[Jnt[v] for v in range(nv)],
+                    Jt1=[Jt1t[v] for v in range(nv)],
+                    Jt2=[Jt2t[v] for v in range(nv)],
+                    aref4=[c_aref[k] for k in range(4)],
+                    Rinv=1.0 / c_R, mu=c_mu, active=c_active)] if nc else []
+    avec = newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups)
     out_ref[...] = jnp.stack(avec)
 
 

@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mujoco_playground_tpu.ops.newton_pallas import (_cholesky_solve_lanes,
-                                                     newton_body)
+                                                     _is0, newton_body, sadd,
+                                                     smul, ssub)
 
 BLOCK_B = 256
 
@@ -77,35 +78,8 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -r, r)
 
 # --------------------------------------------------------------------------
-# static-zero-pruning scalar helpers: operands are Python floats (static) or
-# (B,) lane arrays; exact float zeros vanish at trace time.
-
-def _is0(x):
-    return isinstance(x, (int, float)) and x == 0.0
-
-
-def smul(a, b):
-    if _is0(a) or _is0(b):
-        return 0.0
-    return a * b
-
-
-def sadd(*xs):
-    out = None
-    for x in xs:
-        if _is0(x):
-            continue
-        out = x if out is None else out + x
-    return 0.0 if out is None else out
-
-
-def ssub(a, b):
-    if _is0(b):
-        return a
-    if _is0(a):
-        return 0.0 - b if not isinstance(b, (int, float)) else -b
-    return a - b
-
+# static-zero-pruning scalar helpers (_is0/smul/sadd/ssub) are imported from
+# newton_pallas (single source); vector composites below.
 
 def dot3(a, b):
     return sadd(smul(a[0], b[0]), smul(a[1], b[1]), smul(a[2], b[2]))
@@ -524,32 +498,42 @@ def _make_frame_lanes(n):
     return [list(n), t1, t2]
 
 
-def _sphere_box_lanes(c, r, bp, bs):
-    """Sphere (lane center, float radius) vs AABB given as lane vectors.
+def _cylinder_box_lanes(c, a, r, h, bp, bs, B, dtype):
+    """Cylinder vs AABB on lanes; mirrors collision._cylinder_box.
 
-    bp/bs: lists of 3 lanes (selected nearest box). Mirrors
-    collision._sphere_box incl. argmax tie-breaking."""
-    rel = v3sub(c, bp)
-    clamped = [jnp.clip(rel[k], -bs[k], bs[k]) for k in range(3)]
-    closest = v3add(bp, clamped)
-    delta = v3sub(c, closest)
-    dn = jnp.sqrt(sadd(*[smul(delta[k], delta[k]) for k in range(3)]))
-    outside = dn > 1e-9
-    q = [jnp.abs(rel[k]) - bs[k] for k in range(3)]
-    # argmax with first-max tie-break
-    is0 = (q[0] >= q[1]) & (q[0] >= q[2])
-    is1 = (~is0) & (q[1] >= q[2])
-    is2 = (~is0) & (~is1)
-    axsel = [is0, is1, is2]
-    qmax = jnp.where(is0, q[0], jnp.where(is1, q[1], q[2]))
-    n_in = [jnp.where(axsel[k], jnp.sign(rel[k]), 0.0) for k in range(3)]
-    dsafe = jnp.maximum(dn, 1e-9)
-    n = [jnp.where(outside, delta[k] / dsafe, n_in[k]) for k in range(3)]
-    dist = jnp.where(outside, dn - r, qmax - r)
-    surface = [jnp.where(outside, closest[k], c[k] - qmax * n_in[k])
-               for k in range(3)]
-    pos = [surface[k] + 0.5 * dist * n[k] for k in range(3)]
-    return dist, n, pos
+    Two candidates (one per disc end): the rim-ring point closest to the
+    box — two fixed-point iterations of the perpendicular-projection ring
+    direction — collided as a point via _point_box_lanes."""
+    ax = [a[k] + jnp.zeros((B,), dtype) for k in range(3)]
+    # fallback radial (mirrors the host twin: prefer perp-projected x-hat)
+    fx = [ssub(1.0, ax[0] * ax[0]), ssub(0.0, ax[0] * ax[1]),
+          ssub(0.0, ax[0] * ax[2])]
+    fy = [ssub(0.0, ax[1] * ax[0]), ssub(1.0, ax[1] * ax[1]),
+          ssub(0.0, ax[1] * ax[2])]
+    fxn = jnp.sqrt(sadd(*[smul(fx[k], fx[k]) for k in range(3)]))
+    use_x = fxn > 0.1
+    fall = [jnp.where(use_x, fx[k], fy[k]) for k in range(3)]
+    fn = jnp.maximum(jnp.sqrt(sadd(*[smul(fall[k], fall[k])
+                                     for k in range(3)])), 1e-12)
+    fall = [fall[k] / fn for k in range(3)]
+    out = []
+    for e in (-1.0, 1.0):
+        ce = v3add(c, v3scale(e * h, a))
+        q = ce
+        for _ in range(2):
+            cp = [bp[k] + jnp.clip(ssub(q[k], bp[k]) + jnp.zeros((B,), dtype),
+                                   -bs[k], bs[k]) for k in range(3)]
+            d = v3sub(cp, ce)
+            da = sadd(*[smul(d[k], ax[k]) for k in range(3)])
+            dperp = [ssub(d[k], smul(da, ax[k])) for k in range(3)]
+            dn = jnp.sqrt(sadd(*[smul(dperp[k], dperp[k])
+                                 for k in range(3)]) + jnp.zeros((B,), dtype))
+            dsafe = jnp.maximum(dn, 1e-9)
+            u = [jnp.where(dn > 1e-9, dperp[k] / dsafe, fall[k])
+                 for k in range(3)]
+            q = v3add(ce, v3scale(r, u))
+        out.append(_point_box_lanes(q, bp, bs))
+    return out
 
 
 def _point_box_lanes(p, bp, bs):
@@ -598,7 +582,9 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
     chassis_iw = [float(sm.body_invweight0[b, 0])
                   for b in sm.chassis_box_body]
 
-    # --- wheels vs plane: two rim contacts each ---------------------------
+    # --- wheels vs plane: full cylinder-plane manifold ---------------------
+    # (mirrors collision.collide: two rim candidates + the deep-face
+    #  +-120-degree disc pair, all separation-gated)
     plane_frame = _make_frame_lanes([0.0, 0.0, 1.0])
     for w in range(nw):
         b = sm.wheel_body[w]
@@ -611,20 +597,35 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
         pn = jnp.sqrt(sadd(*[smul(proj[k], proj[k]) for k in range(3)])
                       + jnp.zeros((B,), dtype))
         pns = jnp.maximum(pn, 1e-9)
-        raddir = [jnp.where(pn > 1e-9, proj[0] / pns, 1.0),
+        # degenerate fallback -x: deepest candidate at +x (MuJoCo's pick)
+        raddir = [jnp.where(pn > 1e-9, proj[0] / pns, -1.0),
                   jnp.where(pn > 1e-9, proj[1] / pns, 0.0),
                   jnp.where(pn > 1e-9, proj[2] / pns, 0.0)]
         fric, solref, solimp = combine(sm.wheel_friction[w, 0],
                                        sm.wheel_solref[w], sm.wheel_solimp[w])
-        for sgn in (-1.0, 1.0):
-            p = v3sub(v3add(c, v3scale(sgn * h, a)), v3scale(r, raddir))
+
+        def emit_plane(p, fric=fric, solref=solref, solimp=solimp,
+                       iw=wheel_iw[w], b=b):
             dist = ssub(p[2], sm.plane_z)
             cpos = [p[0], p[1], ssub(p[2], smul(0.5, dist))]
             slots.append(dict(pos=cpos, frame=plane_frame, dist=dist,
                               friction=fric, solref=solref, solimp=solimp,
-                              diag=wheel_iw[w], body=b))
+                              diag=iw, body=b))
 
-    # --- wheels vs nearest-2 boxes (sphere approximation) -----------------
+        for sgn in (-1.0, 1.0):
+            emit_plane(v3sub(v3add(c, v3scale(sgn * h, a)),
+                             v3scale(r, raddir)))
+        deep_sgn = jnp.where(az > 0, -1.0, 1.0).astype(dtype)
+        deep_center = [sadd(c[k], smul(h * deep_sgn, a[k]))
+                       for k in range(3)]
+        t = cross3(a, raddir)
+        for s in (-1.0, 1.0):
+            dirv = [sadd(smul(0.5, raddir[k]),
+                         smul(s * math.sqrt(3) / 2, t[k]))
+                    for k in range(3)]
+            emit_plane(v3add(deep_center, v3scale(r, dirv)))
+
+    # --- wheels vs nearest-2 boxes (exact cylinder narrowphase) -----------
     if sm.num_scene_boxes > 0:
         K = sm.num_scene_boxes
         topk = min(TOPK_W, K)
@@ -634,7 +635,9 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
             b = sm.wheel_body[w]
             c = v3add(xpos[b],
                       qrot(xquat[b], [float(v) for v in sm.wheel_pos[w]]))
+            a = qrot(xquat[b], [float(v) for v in sm.wheel_axis[w]])
             r = float(sm.wheel_size[w, 0])
+            h = float(sm.wheel_size[w, 1])
             # running nearest-2 selection (matches top_k(-d2) ordering:
             # strictly-closer replaces best; ties keep the earlier box)
             INF = 1e30
@@ -675,10 +678,12 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
                 sm.wheel_friction[w, 0], sm.wheel_solref[w],
                 sm.wheel_solimp[w])
             for cand in ([best, second][:topk]):
-                dist, n, p = _sphere_box_lanes(c, r, cand["bp"], cand["bs"])
-                slots.append(dict(pos=p, frame=_make_frame_lanes(n),
-                                  dist=dist, friction=fric, solref=solref,
-                                  solimp=solimp, diag=wheel_iw[w], body=b))
+                for dist, n, p in _cylinder_box_lanes(
+                        c, a, r, h, cand["bp"], cand["bs"], B, dtype):
+                    slots.append(dict(pos=p, frame=_make_frame_lanes(n),
+                                      dist=dist, friction=fric,
+                                      solref=solref, solimp=solimp,
+                                      diag=wheel_iw[w], body=b))
 
     # --- chassis convex hulls vs plane (and nearest box) ------------------
     # Mirrors collision.collide's hull path: the deepest hull vertex per
@@ -907,54 +912,65 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
     qfrc_smooth = [ssub(ssub(qfrc_act[v],
                              smul(float(sm.dof_damping[v]), vvec[v])),
                         fbias[v]) for v in range(nv)]
+    # leaves-first Cholesky elimination order: wheel-chain dofs before the
+    # free joint's 6 — the tree-sparse mass matrix / Newton Hessian then
+    # factor fill-in-free (branch-induced sparsity)
+    free_dofs = set()
+    for j in range(sm.njnt):
+        if sm.jnt_type[j] == JNT_FREE:
+            free_dofs.update(range(sm.jnt_dofadr[j], sm.jnt_dofadr[j] + 6))
+    order = tuple(v for v in range(nv) if v not in free_dofs) + \
+        tuple(v for v in range(nv) if v in free_dofs)
     qacc_smooth = _cholesky_solve_lanes(M, [_lane(f, B, dtype)
-                                            for f in qfrc_smooth], nv)
+                                            for f in qfrc_smooth], nv,
+                                        order=order)
 
     # ---- collision + efc -------------------------------------------------
     slots = collide_lanes(sm, xpos, xquat, B, dtype)
     jrows = joint_rows_lanes(sm, qvec, vvec)
     crows = contact_rows_lanes(sm, slots, S, anchor, vvec)
 
-    nj = len(jrows)
-    nc = len(crows)
-    is_eq = tuple(r["kind"] == EQ for r in jrows)
-    is_fric = tuple(r["kind"] == FRICTION for r in jrows)
-
-    # stack into the layouts newton_body consumes
-    Mt = jnp.stack([jnp.stack([_lane(M[v][w], B, dtype) for w in range(nv)])
-                    for v in range(nv)])                       # (nv, nv, B)
-    a_s = jnp.stack(qacc_smooth)                               # (nv, B)
-    Gt_rows = []
-    for v in range(nv):
-        col = []
-        for r in jrows:
-            val = 0.0
-            if r["dof1"] == v:
-                val = sadd(val, r["coef1"])
-            if r["dof2"] == v and not _is0(r["coef2"]):
-                val = sadd(val, r["coef2"])
-            col.append(_lane(val, B, dtype))
-        Gt_rows.append(jnp.stack(col))
-    Gt = jnp.stack(Gt_rows)                                    # (nv, nj, B)
-    j_aref = jnp.stack([_lane(r["aref"], B, dtype) for r in jrows])
-    jRinv = jnp.stack([_lane(1.0 / r["R"], B, dtype) for r in jrows])
-    j_floss = jnp.stack([_lane(r["floss"], B, dtype) for r in jrows])
-    j_active = jnp.stack([_lane(r["active"], B, dtype) for r in jrows])
-    Jnt = jnp.stack([jnp.stack([_lane(c["Jn"][v], B, dtype) for c in crows])
-                     for v in range(nv)])                      # (nv, nc, B)
-    Jt1t = jnp.stack([jnp.stack([_lane(c["Jt1"][v], B, dtype)
-                                 for c in crows]) for v in range(nv)])
-    Jt2t = jnp.stack([jnp.stack([_lane(c["Jt2"][v], B, dtype)
-                                 for c in crows]) for v in range(nv)])
-    c_aref = jnp.stack([jnp.stack([_lane(c["aref4"][k], B, dtype)
-                                   for c in crows]) for k in range(4)])
-    cRinv = jnp.stack([_lane(1.0 / c["R"], B, dtype) for c in crows])
-    c_mu = jnp.stack([_lane(c["mu"], B, dtype) for c in crows])
-    c_active = jnp.stack([_lane(c["active"], B, dtype) for c in crows])
-
-    qacc = newton_body(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
-                       Mt, a_s, Gt, j_aref, jRinv, j_floss, j_active,
-                       Jnt, Jt1t, Jt2t, c_aref, cRinv, c_mu, c_active)
+    # list-structured rows for newton_body: joint G as pruned per-dof
+    # lists (few rows); contact slots GROUPED by static Jacobian sparsity
+    # pattern (all slots of one wheel share base+chain; hull slots are
+    # base-only) and stacked (ncg, B) per group.  The round-2 kernel
+    # densified everything into (nv, nc, B), materializing every static
+    # zero and tripling the Hessian-assembly work; fully per-row lists
+    # explode the op count instead — pattern groups are the middle ground.
+    njrows = []
+    for r in jrows:
+        G = [0.0] * nv
+        G[r["dof1"]] = sadd(G[r["dof1"]], r["coef1"])
+        if not _is0(r["coef2"]):
+            G[r["dof2"]] = sadd(G[r["dof2"]], r["coef2"])
+        njrows.append(dict(
+            G=G, aref=r["aref"], Rinv=1.0 / r["R"], floss=r["floss"],
+            active=r["active"], is_eq=r["kind"] == EQ,
+            is_fric=r["kind"] == FRICTION))
+    bypat = {}
+    for c in crows:
+        key = tuple(v for v in range(nv)
+                    if not (_is0(c["Jn"][v]) and _is0(c["Jt1"][v])
+                            and _is0(c["Jt2"][v])))
+        bypat.setdefault(key, []).append(c)
+    cgroups = []
+    for dofs, rows in bypat.items():
+        def stk(vals):
+            return jnp.stack([_lane(x, B, dtype) for x in vals])
+        # scalar-broadcast lanes, NOT an np (ncg, 1) constant — Pallas
+        # refuses non-scalar captured constants in the kernel jaxpr
+        mu = stk([c["mu"] for c in rows])
+        cgroups.append(dict(
+            dofs=dofs,
+            Jn=[stk([c["Jn"][v] for c in rows]) for v in dofs],
+            Jt1=[stk([c["Jt1"][v] for c in rows]) for v in dofs],
+            Jt2=[stk([c["Jt2"][v] for c in rows]) for v in dofs],
+            aref4=[stk([c["aref4"][k] for c in rows]) for k in range(4)],
+            Rinv=stk([1.0 / c["R"] for c in rows]), mu=mu,
+            active=stk([c["active"] for c in rows])))
+    a_s = [_lane(a, B, dtype) for a in qacc_smooth]
+    qacc = newton_body(nv, iterations, ls_iterations, M, a_s, njrows,
+                       cgroups, order=order)
 
     # ---- implicit-damping Euler: (M + h D) v' = M (v + h a) + h D v ------
     MhD = [[M[v][w] for w in range(nv)] for v in range(nv)]
@@ -966,7 +982,8 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
             sadd(*[smul(M[v][w], sadd(vvec[w], smul(h, qacc[w])))
                    for w in range(nv)]),
             smul(h * d, vvec[v]))
-    vnew = _cholesky_solve_lanes(MhD, [_lane(r, B, dtype) for r in rhs], nv)
+    vnew = _cholesky_solve_lanes(MhD, [_lane(r, B, dtype) for r in rhs], nv,
+                                 order=order)
 
     # ---- position integration -------------------------------------------
     qnew = [None] * nq

@@ -9,22 +9,28 @@ masking (ackermann_robot_v2.xml:21,30,42: floor<->{chassis,wheels} and
 scene-box<->{chassis,wheels} only; no self-collision).
 
 Slot layout (C = total contact slots):
-  [4 wheels x 2 rim contacts vs plane]               -> 8
-  [4 wheels x TOPK_W boxes, sphere approx]           -> 4*TOPK_W  (if boxes)
+  [4 wheels x 4 cylinder-plane candidates]           -> 16
+  [4 wheels x TOPK_W boxes x 2 rim-ring candidates]  -> 8*TOPK_W  (if boxes)
   [2 chassis hulls x TOPK_H deepest verts vs plane]  -> 8
   [2 chassis hulls x TOPK_H deepest verts vs box]    -> 8         (if boxes)
 
-Wheel-vs-plane reproduces MuJoCo's cylinder-plane rim contacts (two contact
-points at the rim-circle bottoms, position at the penetration midpoint —
-verified against mj contact dumps).  Wheel-vs-box uses a sphere approximation
-(wheel half-width 0.01 << radius 0.0325).  The chassis collides through the
+Wheel-vs-plane reproduces MuJoCo's full mjc_PlaneCylinder manifold
+(empirically characterized against MuJoCo 3.10, tests/test_wheel_cylinder.py):
+the deepest rim point, the opposite-end rim partner (dist1 + 2h cos(tilt) —
+active when rolling), and the +-120-degree disc pair on the deep face
+(dist1 + 1.5 r sin(tilt) — active when face-down/flipped).  All four
+candidates always occupy slots; separation gates them exactly like MuJoCo's
+margin test.  Wheel-vs-box is an exact cylinder narrowphase: per disc end,
+the rim-ring point closest to the box (two fixed-point iterations of the
+ring-direction projection) collides as a point — covering tread-segment
+endpoints against wall faces (MuJoCo's multiCCD manifold endpoints), tilted
+rim contact, and face-on approach.  The chassis collides through the
 convex-hull vertices of its reference meshes (spec/robot.py) — against the
-plane this is MuJoCo's own plane-convex candidate set; the lidar collision
-penalty (0.15 m) still triggers well before chassis contact in normal
-operation.
+plane this is MuJoCo's own plane-convex candidate set.
 """
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax
@@ -92,26 +98,31 @@ def collide(model: Model, xpos, xquat) -> Contacts:
                   if len(model.chassis_box_body)
                   else jnp.zeros(0, dtype))
 
-    # --- wheels vs plane: two rim contacts each -----------------------------
+    # --- wheels vs plane: MuJoCo's full cylinder-plane manifold -------------
+    # Four candidates per wheel (separation-gated, like mjc_PlaneCylinder's
+    # margin test — characterized against MuJoCo 3.10 contact dumps):
+    #   two rim points (both ends along the steepest-descent radial) cover
+    #   rolling; the +-120-degree disc pair on the DEEP face covers the
+    #   face-down/flipped regime (a flipped robot rests flat, no rocking).
     for w in range(nw):
         b = model.wheel_body[w]
         c = xpos[b] + mu.quat_rotate(xquat[b], model.wheel_pos[w])
         a = mu.quat_rotate(xquat[b], model.wheel_axis[w])
         r, h = model.wheel_size[w, 0], model.wheel_size[w, 1]
-        # radial direction toward the plane
+        # radial direction toward the plane; the exact-degenerate (axis
+        # vertical) fallback is -x so the deepest candidate lands at +x —
+        # matching MuJoCo's arbitrary pick for a flat disc (probed 3.10)
         proj = zhat - jnp.dot(zhat, a) * a
         pn = jnp.linalg.norm(proj)
         raddir = jnp.where(pn > 1e-9, proj / jnp.maximum(pn, 1e-9),
-                           jnp.asarray([1.0, 0, 0], dtype))
+                           jnp.asarray([-1.0, 0, 0], dtype))
         fric, solref, solimp = _combine(
             model, model.wheel_friction[w, 0], model.wheel_solref[w],
             model.wheel_solimp[w])
-        for sgn in (-1.0, 1.0):
-            rim_center = c + sgn * h * a
-            p = rim_center - r * raddir
+
+        def emit_plane(p):
             dist = p[2] - model.plane_z
-            cpos = p - 0.5 * dist * zhat
-            pos_l.append(cpos)
+            pos_l.append(p - 0.5 * dist * zhat)
             frame_l.append(_make_frame(zhat))
             dist_l.append(dist)
             fric_l.append(fric)
@@ -120,17 +131,36 @@ def collide(model: Model, xpos, xquat) -> Contacts:
             diag_l.append(wheel_iw[w])
             body_l.append(b)
 
-    # --- wheels vs boxes (sphere approximation) -----------------------------
+        for sgn in (-1.0, 1.0):
+            emit_plane(c + sgn * h * a - r * raddir)
+        # disc pair on the deep end (rim points at +-120 degrees from the
+        # deepest radial): dist = dist1 + 1.5 r sin(tilt) — penetrating
+        # only near face-down, exactly MuJoCo's 3-point disc manifold
+        deep_sgn = jnp.where(a[2] > 0, -1.0, 1.0).astype(dtype)
+        deep_center = c + deep_sgn * h * a
+        t = jnp.cross(a, raddir)
+        for s in (-1.0, 1.0):
+            # math.sqrt (weak-typed Python float), NOT np.sqrt: a np.float64
+            # scalar would promote the f32 hot path to f64 under x64 tests
+            emit_plane(deep_center
+                       + r * (0.5 * raddir + s * (math.sqrt(3) / 2) * t))
+
+    # --- wheels vs boxes (exact cylinder narrowphase) ------------------------
     # candidate selection by squared SURFACE distance (clamp), not center
     # distance: merged maze walls are long slabs whose centers sit far from
-    # a nearby face, so center ranking would miss the true closest box
+    # a nearby face, so center ranking would miss the true closest box.
+    # Per box, TWO contacts: the rim-ring point of each disc end closest to
+    # the box (point-vs-box) — tread-segment endpoints against a wall face
+    # (MuJoCo's multiCCD manifold endpoints), the true rim point when
+    # tilted, the disc edge when face-on.
     if model.num_scene_boxes > 0:
         box_pos = model.scene_box_pos
         box_size = model.scene_box_size
         for w in range(nw):
             b = model.wheel_body[w]
             c = xpos[b] + mu.quat_rotate(xquat[b], model.wheel_pos[w])
-            r = model.wheel_size[w, 0]
+            a = mu.quat_rotate(xquat[b], model.wheel_axis[w])
+            r, h = model.wheel_size[w, 0], model.wheel_size[w, 1]
             d2 = jnp.sum(jnp.maximum(jnp.abs(box_pos - c) - box_size,
                                      0.0) ** 2, axis=-1)
             _, idx = jax.lax.top_k(-d2, min(TOPK_W, model.num_scene_boxes))
@@ -140,15 +170,15 @@ def collide(model: Model, xpos, xquat) -> Contacts:
             for k in range(min(TOPK_W, model.num_scene_boxes)):
                 bp = box_pos[idx[k]]
                 bs = box_size[idx[k]]
-                dist, n, p = _sphere_box(c, r, bp, bs, dtype)
-                pos_l.append(p)
-                frame_l.append(_make_frame(n))
-                dist_l.append(dist)
-                fric_l.append(fric)
-                solref_l.append(solref)
-                solimp_l.append(solimp)
-                diag_l.append(wheel_iw[w])
-                body_l.append(b)
+                for dist, n, p in _cylinder_box(c, a, r, h, bp, bs, dtype):
+                    pos_l.append(p)
+                    frame_l.append(_make_frame(n))
+                    dist_l.append(dist)
+                    fric_l.append(fric)
+                    solref_l.append(solref)
+                    solimp_l.append(solimp)
+                    diag_l.append(wheel_iw[w])
+                    body_l.append(b)
 
     # --- chassis convex hulls vs plane (and top-1 box) -----------------------
     # Each chassis geom carries the convex-hull vertex cloud of its reference
@@ -218,26 +248,39 @@ def collide(model: Model, xpos, xquat) -> Contacts:
         body=np.asarray(body_l, np.int32))
 
 
-def _sphere_box(c, r, bp, bs, dtype):
-    """Sphere (center c, radius r) vs AABB (center bp, half bs).
+def _cylinder_box(c, a, r, h, bp, bs, dtype):
+    """Cylinder (center c, unit axis a, radius r, half-height h) vs AABB.
 
-    Returns (dist, normal pointing box->sphere, contact midpoint).
+    Returns two candidate contacts [(dist, normal box->wheel, midpoint)] —
+    one per disc end: the rim-ring point closest to the box, collided as a
+    point.  The ring direction is found by two fixed-point iterations of
+    u <- normalize(perp_a(closest_box_point(q) - ce)); exact for face
+    contacts (the clamp face is direction-invariant), sub-millimeter for
+    edge/corner regions at wheel scale.  Degenerate face-on approach
+    (closest direction parallel to the axis) falls back to a fixed radial
+    so the contact depth is still exact (any ring point is equidistant).
     """
-    rel = c - bp
-    clamped = jnp.clip(rel, -bs, bs)
-    closest = bp + clamped
-    delta = c - closest
-    dn = jnp.linalg.norm(delta)
-    outside = dn > 1e-9
-    # outside: normal along delta; inside: push out along min-penetration axis
-    q = jnp.abs(rel) - bs          # componentwise; all negative when inside
-    ax = jnp.argmax(q)
-    n_in = jnp.zeros(3, dtype).at[ax].set(jnp.sign(rel[ax]))
-    n = jnp.where(outside, delta / jnp.maximum(dn, 1e-9), n_in)
-    dist = jnp.where(outside, dn - r, q[ax] - r)
-    surface = jnp.where(outside, closest, c - q[ax] * n_in)
-    pos = surface + 0.5 * dist * n
-    return dist, n, pos
+    out = []
+    # a stable fallback radial (perpendicular to a): prefer x-hat, else y-hat
+    xh = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    yh = jnp.asarray([0.0, 1.0, 0.0], dtype)
+    fx = xh - jnp.dot(xh, a) * a
+    fy = yh - jnp.dot(yh, a) * a
+    use_x = jnp.linalg.norm(fx) > 0.1
+    fall = jnp.where(use_x, fx, fy)
+    fall = fall / jnp.maximum(jnp.linalg.norm(fall), 1e-12)
+    for e in (-1.0, 1.0):
+        ce = c + e * h * a
+        q = ce
+        for _ in range(2):
+            cp = bp + jnp.clip(q - bp, -bs, bs)
+            d = cp - ce
+            dperp = d - jnp.dot(d, a) * a
+            dn = jnp.linalg.norm(dperp)
+            u = jnp.where(dn > 1e-9, dperp / jnp.maximum(dn, 1e-9), fall)
+            q = ce + r * u
+        out.append(_point_box(q, bp, bs, dtype))
+    return out
 
 
 def _point_box(p, bp, bs, dtype):

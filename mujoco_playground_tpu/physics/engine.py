@@ -152,7 +152,11 @@ def step_batch(model: Model, states: State,
     # stacks per-row lanes and requires nj >= 1
     has_joint_rows = (len(model.eq_dof_pairs) + len(model.friction_dofs)
                       + 2 * len(model.limited_dofs)) > 0
-    block_b = (step_pallas.BLOCK_B if on_tpu
+    # 512 lanes when the batch allows it: ~10% faster than 256 on v5e
+    # (deeper lanes hide the Newton/Cholesky dependency chains; measured
+    # bit-identical output), falling back to BLOCK_B=256 so small batches
+    # (e.g. SAC's 256 envs) still take the megakernel
+    block_b = ((512 if B % 512 == 0 else step_pallas.BLOCK_B) if on_tpu
                else int(FORCE_MEGAKERNEL) if FORCE_MEGAKERNEL else 0)
     if (block_b and base_model is None and B % block_b == 0
             and has_joint_rows and step_pallas.is_concrete_model(model)):
