@@ -63,6 +63,12 @@ def ssub(a, b):
     return a - b
 
 
+def smax(a, b):
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return max(a, b)
+    return jnp.maximum(a, b)
+
+
 def _cholesky_solve_lanes(H, g, n, order=None):
     """Solve H x = g (SPD); H an n x n list-of-lists of (B,) lanes and/or
     static-zero Python floats, g a list of lanes/floats.

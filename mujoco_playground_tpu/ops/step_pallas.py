@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mujoco_playground_tpu.ops.newton_pallas import (_cholesky_solve_lanes,
                                                      _is0, newton_body, sadd,
-                                                     smul, ssub)
+                                                     smax, smul, ssub)
 
 BLOCK_B = 256
 
@@ -281,6 +281,70 @@ class _StaticModel:
                 self.jnt_qposadr[jid] + (d - self.jnt_dofadr[jid]))
 
 
+# Per-env-randomizable scalar model parameters the megakernel can take as
+# lane inputs (the set envs.domain_randomization.randomize_model perturbs).
+# name -> shape-of-indices given the static model (the packed params input
+# carries one (B,) row per scalar, in this field order, indices row-major).
+# NOT randomizable in-kernel (structure, not scalars): geometry (boxes,
+# hull verts, wheel size/pos), solref/solimp, invweights (the XLA DR path
+# keeps base invweights too — R-scaling approximation, same both paths).
+DR_LAYOUT = (
+    ("body_mass", lambda sm: (sm.nbody,)),
+    ("body_inertia", lambda sm: (sm.nbody, 3)),
+    ("dof_damping", lambda sm: (sm.nv,)),
+    ("dof_armature", lambda sm: (sm.nv,)),
+    ("dof_frictionloss", lambda sm: (sm.nv,)),
+    ("actuator_gain", lambda sm: (sm.nu,)),
+    ("actuator_bias", lambda sm: (sm.nu, 3)),
+    ("wheel_friction", lambda sm: (len(sm.wheel_body),)),   # [w, 0] scalar
+    ("plane_z", lambda sm: ()),
+)
+DR_SUPPORTED = tuple(name for name, _ in DR_LAYOUT)
+
+
+def dr_param_rows(sm, dr_fields):
+    """Packed (row-offset, shape) per randomized field + total row count."""
+    offs, p = {}, 0
+    for name, shape_fn in DR_LAYOUT:
+        if name not in dr_fields:
+            continue
+        shape = shape_fn(sm)
+        offs[name] = (p, shape)
+        p += int(np.prod(shape)) if shape else 1
+    return offs, p
+
+
+class _DRView:
+    """Static-or-lane accessor for model scalars inside the kernel.
+
+    ``val(name, *idx)`` returns the per-env (B,) lane when ``name`` is a
+    randomized field (read from the packed params input), else the static
+    Python float from the model — so the same kernel code serves both the
+    concrete and the domain-randomized build (static floats keep pruning).
+    """
+
+    def __init__(self, sm, dr_fields=None, lanes=None):
+        self.sm = sm
+        self.offs, self.rows = ({}, 0) if not dr_fields else \
+            dr_param_rows(sm, dr_fields)
+        self.lanes = lanes          # (P, B) loaded VMEM value, or None
+
+    def val(self, name, *idx):
+        if name in self.offs and self.lanes is not None:
+            off, shape = self.offs[name]
+            flat = 0
+            for k, n in zip(idx, shape):
+                flat = flat * n + k
+            return self.lanes[off + flat]
+        v = np.asarray(getattr(self.sm, name))
+        for k in idx:
+            v = v[k]
+        # under-indexed remainder takes component 0 (wheel_friction stores
+        # (nw, k) friction coefficients; the DR scalar is the tangential
+        # mu in column 0 — mirrors collision.collide's [w, 0])
+        return float(v.flat[0]) if v.ndim else float(v)
+
+
 # --- kinematics stages on lanes -------------------------------------------
 
 JNT_FREE, JNT_HINGE, JNT_SLIDE = 0, 1, 2
@@ -351,17 +415,17 @@ def motion_subspace_lanes(sm: _StaticModel, xpos, xquat, anchor):
     return S
 
 
-def spatial_inertia_lanes(sm: _StaticModel, b, xpos_b, xquat_b, anchor):
+def spatial_inertia_lanes(sm: _StaticModel, b, xpos_b, xquat_b, anchor, dr):
     """6x6 spatial inertia (list of rows) of body b about anchor."""
     iquat = qmul(xquat_b, [float(v) for v in sm.body_iquat[b]])
     R = qmat(iquat)
-    diag = [float(v) for v in sm.body_inertia[b]]
+    diag = [dr.val("body_inertia", b, k) for k in range(3)]
     # Iw = R diag R^T
     Iw = [[sadd(*[smul(smul(R[i][k], diag[k]), R[j][k]) for k in range(3)])
            for j in range(3)] for i in range(3)]
     com = v3add(xpos_b, qrot(xquat_b, [float(v) for v in sm.body_ipos[b]]))
     c = v3sub(com, anchor)
-    m = float(sm.body_mass[b])
+    m = dr.val("body_mass", b)
     cx = [[0.0, ssub(0.0, c[2]), c[1]],
           [c[2], 0.0, ssub(0.0, c[0])],
           [ssub(0.0, c[1]), c[0], 0.0]]
@@ -391,12 +455,14 @@ def _force_cross_lanes(v, f):
             + cross3(vang, ffrc))
 
 
-def crba_bias_lanes(sm: _StaticModel, xpos, xquat, vvec):
+def crba_bias_lanes(sm: _StaticModel, xpos, xquat, vvec, dr):
     """Returns (M rows-of-lists nv x nv, fbias list nv, S, anchor)."""
     nv = sm.nv
     anchor = xpos[1] if sm.nbody > 1 else [0.0, 0.0, 0.0]
     S = motion_subspace_lanes(sm, xpos, xquat, anchor)
     mask = sm.ancestor_mask
+    # structural body list from the STATIC model (multiplicative DR keeps
+    # zero masses zero, so the pruning set is randomization-invariant)
     bodies = [b for b in range(sm.nbody)
               if sm.body_mass[b] != 0.0 or np.any(sm.body_inertia[b])]
 
@@ -407,7 +473,7 @@ def crba_bias_lanes(sm: _StaticModel, xpos, xquat, vvec):
     for b in bodies:
         Jb = [[S[v][k] if mask[b, v] else 0.0 for v in range(nv)]
               for k in range(6)]
-        I6 = spatial_inertia_lanes(sm, b, xpos[b], xquat[b], anchor)
+        I6 = spatial_inertia_lanes(sm, b, xpos[b], xquat[b], anchor, dr)
         IJb = [[sadd(*[smul(I6[k][l], Jb[l][v]) for l in range(6)])
                 for v in range(nv)] for k in range(6)]
         J[b], IJ[b], Ibar[b] = Jb, IJb, I6
@@ -420,7 +486,7 @@ def crba_bias_lanes(sm: _StaticModel, xpos, xquat, vvec):
                 for b in bodies for k in range(6)])
             M[w][v] = M[v][w]
     for v in range(nv):
-        M[v][v] = sadd(M[v][v], float(sm.dof_armature[v]))
+        M[v][v] = sadd(M[v][v], dr.val("dof_armature", v))
 
     # body spatial velocities
     vbody = {b: [sadd(*[smul(J[b][k][v], vvec[v]) for v in range(nv)])
@@ -456,7 +522,7 @@ def crba_bias_lanes(sm: _StaticModel, xpos, xquat, vvec):
     return M, fbias, S, anchor
 
 
-def actuator_lanes(sm: _StaticModel, qvec, vvec, cvec):
+def actuator_lanes(sm: _StaticModel, qvec, vvec, cvec, dr):
     """ctrl -> generalized force per dof (list of nv lanes/0.0)."""
     out = [0.0] * sm.nv
     for u in range(sm.nu):
@@ -465,10 +531,10 @@ def actuator_lanes(sm: _StaticModel, qvec, vvec, cvec):
         cr = sm.actuator_ctrlrange[u]
         fr = sm.actuator_forcerange[u]
         c = jnp.clip(cvec[u], float(cr[0]), float(cr[1]))
-        force = sadd(smul(float(sm.actuator_gain[u]), c),
-                     float(sm.actuator_bias[u, 0]),
-                     smul(float(sm.actuator_bias[u, 1]), qvec[qadr]),
-                     smul(float(sm.actuator_bias[u, 2]), vvec[d]))
+        force = sadd(smul(dr.val("actuator_gain", u), c),
+                     dr.val("actuator_bias", u, 0),
+                     smul(dr.val("actuator_bias", u, 1), qvec[qadr]),
+                     smul(dr.val("actuator_bias", u, 2), vvec[d]))
         if np.isfinite(fr).all():
             force = jnp.clip(force, float(fr[0]), float(fr[1]))
         out[d] = sadd(out[d], force)
@@ -560,18 +626,19 @@ def _point_box_lanes(p, bp, bs):
     return dist, n, pos
 
 
-def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
+def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype, dr):
     """All contact slots; same order/semantics as collision.collide.
 
     Returns list of slot dicts: pos [3], frame [3][3], dist lane,
-    friction float, solref/solimp floats, diag float, body int.
+    friction float-or-lane, solref/solimp floats, diag float, body int.
     """
     from mujoco_playground_tpu.physics.collision import TOPK_W
     slots = []
     nw = len(sm.wheel_body)
+    plane_z = dr.val("plane_z")
 
     def combine(wf, wsr, wsi):
-        fric = max(float(wf), float(sm.plane_friction[0]))
+        fric = smax(wf, float(sm.plane_friction[0]))
         solref = [0.5 * (float(wsr[k]) + float(sm.plane_solref[k]))
                   for k in range(2)]
         solimp = [0.5 * (float(wsi[k]) + float(sm.plane_solimp[k]))
@@ -601,12 +668,12 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
         raddir = [jnp.where(pn > 1e-9, proj[0] / pns, -1.0),
                   jnp.where(pn > 1e-9, proj[1] / pns, 0.0),
                   jnp.where(pn > 1e-9, proj[2] / pns, 0.0)]
-        fric, solref, solimp = combine(sm.wheel_friction[w, 0],
+        fric, solref, solimp = combine(dr.val("wheel_friction", w),
                                        sm.wheel_solref[w], sm.wheel_solimp[w])
 
         def emit_plane(p, fric=fric, solref=solref, solimp=solimp,
                        iw=wheel_iw[w], b=b):
-            dist = ssub(p[2], sm.plane_z)
+            dist = ssub(p[2], plane_z)
             cpos = [p[0], p[1], ssub(p[2], smul(0.5, dist))]
             slots.append(dict(pos=cpos, frame=plane_frame, dist=dist,
                               friction=fric, solref=solref, solimp=solimp,
@@ -675,7 +742,7 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
                         for kk in range(3)])
                 second = new_second
             fric, solref, solimp = combine(
-                sm.wheel_friction[w, 0], sm.wheel_solref[w],
+                dr.val("wheel_friction", w), sm.wheel_solref[w],
                 sm.wheel_solimp[w])
             for cand in ([best, second][:topk]):
                 for dist, n, p in _cylinder_box_lanes(
@@ -706,7 +773,7 @@ def collide_lanes(sm: _StaticModel, xpos, xquat, B, dtype):
         bias = [float(x) for x in sm.chassis_hull_bias[i]]
         cands = []
         for kv, p in enumerate(verts):
-            dist = ssub(p[2], sm.plane_z)
+            dist = ssub(p[2], plane_z)
             cands.append(dict(score=ssub(dist, bias[kv]), dist=dist,
                               pos=[p[0], p[1],
                                    ssub(p[2], smul(0.5, dist))]))
@@ -782,7 +849,7 @@ def _keep_deepest(cands, K, B, dtype):
 
 # --- efc assembly on lanes -------------------------------------------------
 
-def joint_rows_lanes(sm: _StaticModel, qvec, vvec):
+def joint_rows_lanes(sm: _StaticModel, qvec, vvec, dr):
     """Joint rows (equality/friction/limits); mirrors constraint.make_efc."""
     from mujoco_playground_tpu.physics.constraint import CONE, EQ, FRICTION
     rows = []
@@ -809,7 +876,8 @@ def joint_rows_lanes(sm: _StaticModel, qvec, vvec):
             dof1=d1, dof2=0, coef1=1.0, coef2=0.0, aref=aref,
             R=jnp.maximum((1.0 - d) / d * float(sm.dof_invweight0[d1]),
                           1e-10),
-            floss=float(sm.dof_frictionloss[d1]), active=1.0, kind=FRICTION))
+            floss=dr.val("dof_frictionloss", d1), active=1.0,
+            kind=FRICTION))
     for d1 in sm.limited_dofs:
         jid = sm.dof_jnt[d1]
         qadr = sm.dof_qposadr[d1]
@@ -854,7 +922,7 @@ def contact_rows_lanes(sm: _StaticModel, slots, S, anchor, vvec):
             Jn[v] = dot3(Jp, fr[0])
             Jt1[v] = dot3(Jp, fr[1])
             Jt2[v] = dot3(Jp, fr[2])
-        mu_ = s["friction"]
+        mu_ = s["friction"]          # float, or a lane under DR
         dist = s["dist"]
         act = (dist < 0).astype(dist.dtype)
         d_imp = impedance_lanes(s["solimp"], dist)
@@ -862,7 +930,7 @@ def contact_rows_lanes(sm: _StaticModel, slots, S, anchor, vvec):
         tc, zeta = float(s["solref"][0]), float(s["solref"][1])
         bcoef = 2.0 / (dmax * tc)
         kcoef = d_imp / (dmax * dmax * tc * tc * zeta * zeta)
-        diag = max(s["diag"] * 2.0 * mu_ ** 2 * (1.0 + mu_ ** 2), 1e-12)
+        diag = smax(s["diag"] * 2.0 * mu_ ** 2 * (1.0 + mu_ ** 2), 1e-12)
         Rrow = jnp.maximum((1.0 - d_imp) / d_imp * diag, 1e-10)
         vn = sadd(*[smul(Jn[v], vvec[v]) for v in range(nv)])
         vt1 = sadd(*[smul(Jt1[v], vvec[v]) for v in range(nv)])
@@ -885,7 +953,10 @@ def _lane(x, B, dtype):
 
 
 def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
-                 lidar_statics, env_statics, fresh_statics, *refs):
+                 lidar_statics, env_statics, fresh_statics, dr_fields,
+                 *refs):
+    refs = list(refs)
+    dr_ref = refs.pop(3) if dr_fields else None
     if env_statics is not None:
         (qpos_ref, qvel_ref, ctrl_ref, env_in_ref,
          qpos_out, qvel_out, xpos_out, xquat_out, env_out) = refs
@@ -900,6 +971,7 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
     B = block_b
     dtype = qpos_ref.dtype
     h = sm.timestep
+    dr = _DRView(sm, dr_fields, dr_ref[...] if dr_fields else None)
 
     qvec = [qpos_ref[i] for i in range(nq)]
     vvec = [qvel_ref[i] for i in range(nv)]
@@ -907,10 +979,10 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
 
     # ---- FK + smooth dynamics -------------------------------------------
     xpos, xquat = fk_lanes(sm, qvec)
-    M, fbias, S, anchor = crba_bias_lanes(sm, xpos, xquat, vvec)
-    qfrc_act = actuator_lanes(sm, qvec, vvec, cvec)
+    M, fbias, S, anchor = crba_bias_lanes(sm, xpos, xquat, vvec, dr)
+    qfrc_act = actuator_lanes(sm, qvec, vvec, cvec, dr)
     qfrc_smooth = [ssub(ssub(qfrc_act[v],
-                             smul(float(sm.dof_damping[v]), vvec[v])),
+                             smul(dr.val("dof_damping", v), vvec[v])),
                         fbias[v]) for v in range(nv)]
     # leaves-first Cholesky elimination order: wheel-chain dofs before the
     # free joint's 6 — the tree-sparse mass matrix / Newton Hessian then
@@ -926,8 +998,8 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
                                         order=order)
 
     # ---- collision + efc -------------------------------------------------
-    slots = collide_lanes(sm, xpos, xquat, B, dtype)
-    jrows = joint_rows_lanes(sm, qvec, vvec)
+    slots = collide_lanes(sm, xpos, xquat, B, dtype, dr)
+    jrows = joint_rows_lanes(sm, qvec, vvec, dr)
     crows = contact_rows_lanes(sm, slots, S, anchor, vvec)
 
     # list-structured rows for newton_body: joint G as pruned per-dof
@@ -976,7 +1048,7 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
     MhD = [[M[v][w] for w in range(nv)] for v in range(nv)]
     rhs = [0.0] * nv
     for v in range(nv):
-        d = float(sm.dof_damping[v])
+        d = dr.val("dof_damping", v)
         MhD[v][v] = sadd(MhD[v][v], h * d)
         rhs[v] = sadd(
             sadd(*[smul(M[v][w], sadd(vvec[w], smul(h, qacc[w])))
@@ -1101,7 +1173,7 @@ _BUILD_CACHE = {}
 def build_step_fn(model, iterations: int, ls_iterations: int,
                   block_b: int = BLOCK_B, interpret: bool = False,
                   with_lidar: bool = False, with_env: tuple = None,
-                  with_fresh: tuple = None):
+                  with_fresh: tuple = None, dr_fields: tuple = None):
     """Returns step(qpos (B,nq), qvel (B,nv), ctrl (B,nu)[, env_in (B,5)]) ->
     (qpos', qvel', xpos (B,nbody,3), xquat (B,nbody,4)[, lidar (B,nsite)
     | env_out (B, nsite+12)]).  B % block_b == 0.
@@ -1127,20 +1199,31 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
     gains ``nsite`` trailing rows of fresh-spawn lidar (aliased per the
     env config, like the main scan).
 
-    The model must be env-invariant (no domain-randomization batch axes) and
-    concrete (not traced) — engine.step_batch falls back to the XLA path
-    otherwise.
+    ``dr_fields`` (tuple of DR_SUPPORTED names) builds a domain-randomized
+    kernel: the listed scalar model parameters become per-env lane inputs
+    and ``step`` takes an extra ``dr_params (P, B)`` argument (pack with
+    :func:`pack_dr_params`).  The BASE model must still be concrete; the
+    fused lidar/env stages are unavailable under DR (plane_z perturbs the
+    floor the static lidar geometry bakes) — engine falls back to the XLA
+    observe for those.
+
+    The model must be env-invariant along non-DR fields and concrete (not
+    traced) — engine.step_batch falls back to the XLA path otherwise.
     """
     if with_env is not None:
         with_lidar = True
     else:
         with_fresh = None
+    if dr_fields:
+        assert not with_lidar and with_env is None, \
+            "DR kernel excludes fused lidar/env (plane_z is per-env)"
+        dr_fields = tuple(sorted(dr_fields))
     # the cached entry retains the model: id() keys are only unique while
     # the object is alive, so without the strong ref a GC'd model's id
     # could be reused and silently return a kernel baked with different
     # geometry
     key = (id(model), iterations, ls_iterations, block_b, interpret,
-           with_lidar, with_env, with_fresh)
+           with_lidar, with_env, with_fresh, dr_fields)
     if key in _BUILD_CACHE:
         return _BUILD_CACHE[key][1]
 
@@ -1151,18 +1234,23 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
         nsite = len(lstat[0])
     else:
         lstat = None
+    n_dr = dr_param_rows(sm, dr_fields)[1] if dr_fields else 0
     kernel = functools.partial(_step_kernel, sm, iterations, ls_iterations,
-                               block_b, lstat, with_env, with_fresh)
+                               block_b, lstat, with_env, with_fresh,
+                               dr_fields)
 
     def spec(rows):
         return pl.BlockSpec((rows, block_b), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    def step(qpos, qvel, ctrl, env_in=None):
+    def step(qpos, qvel, ctrl, env_in=None, dr_params=None):
         B = qpos.shape[0]
         dtype = qpos.dtype
         in_specs = [spec(sm.nq), spec(sm.nv), spec(sm.nu)]
         inputs = [qpos.T, qvel.T, ctrl.T]
+        if dr_fields:
+            in_specs.append(spec(n_dr))
+            inputs.append(dr_params)
         if with_env is not None:
             in_specs.append(spec(7 if with_fresh is not None else 5))
             inputs.append(env_in.T)
@@ -1199,6 +1287,22 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
 
     _BUILD_CACHE[key] = (model, step)
     return step
+
+
+def pack_dr_params(models, dr_fields):
+    """Randomized Model leaves (leading env axis) -> the (P, B) lane rows
+    the DR kernel consumes (DR_LAYOUT order, row-major flattening — the
+    exact layout _DRView reads)."""
+    rows = []
+    for name, _ in DR_LAYOUT:
+        if name not in dr_fields:
+            continue
+        leaf = getattr(models, name)
+        if name == "wheel_friction":
+            leaf = leaf[..., 0]          # tangential mu (column 0)
+        B = leaf.shape[0]
+        rows.append(jnp.reshape(leaf, (B, -1)).T)
+    return jnp.concatenate(rows, axis=0)
 
 
 def is_concrete_model(model) -> bool:

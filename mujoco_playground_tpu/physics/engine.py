@@ -158,6 +158,30 @@ def step_batch(model: Model, states: State,
     # (e.g. SAC's 256 envs) still take the megakernel
     block_b = ((512 if B % 512 == 0 else step_pallas.BLOCK_B) if on_tpu
                else int(FORCE_MEGAKERNEL) if FORCE_MEGAKERNEL else 0)
+    # domain-randomized megakernel: when every randomized leaf is one of
+    # the kernel's supported per-env scalar parameters, the base model
+    # compiles ONE kernel taking a packed (P, B) param input — the staged
+    # per-env-vmap path below only remains for exotic randomizations.
+    # Fused lidar/env are off under DR (plane_z perturbs the floor the
+    # static lidar geometry bakes); callers observe via XLA per env.
+    if (block_b and base_model is not None and B % block_b == 0
+            and has_joint_rows and not with_lidar and with_env is None
+            and step_pallas.is_concrete_model(base_model)
+            and step_pallas.is_concrete_model(model)):
+        names = tuple(sorted(batched_field_dict(model, base_model)))
+        if names and set(names) <= set(step_pallas.DR_SUPPORTED):
+            fn = step_pallas.build_step_fn(
+                base_model, base_model.solver_iterations,
+                base_model.ls_iterations, block_b=block_b,
+                interpret=not on_tpu, dr_fields=names)
+            params = step_pallas.pack_dr_params(model, names).astype(
+                states.qpos.dtype)
+            qpos_n, qvel_n, xpos_n, xquat_n = fn(
+                states.qpos, states.qvel, states.ctrl, dr_params=params)
+            return states.replace(qpos=qpos_n, qvel=qvel_n,
+                                  time=states.time + base_model.timestep,
+                                  xpos=xpos_n, xquat=xquat_n)
+
     if (block_b and base_model is None and B % block_b == 0
             and has_joint_rows and step_pallas.is_concrete_model(model)):
         # a model without rangefinder sites has nothing to fuse (a zero-row
