@@ -105,10 +105,12 @@ class DomainRandomizedEnv:
         self.models = randomize_model(self.env.model, rng, self.num_envs,
                                       self.rand_config)
 
-    def reset(self, rngs) -> EnvState:
-        # reset is model-independent (template state); per-slot physics kicks
-        # in from the first step.
-        return jax.vmap(self.env.reset)(rngs)
+    def reset(self, rng) -> EnvState:
+        # per-env, vmap-able — the same contract as AckermannEnv.reset, so
+        # the PPO/SAC/TD3 trainers and the evaluator accept a DR env
+        # unchanged.  Reset is model-independent (template state); per-slot
+        # physics kicks in from the first step.
+        return self.env.reset(rng)
 
     def step_batch(self, states: EnvState, actions) -> EnvState:
         # batched fast path: batch-last smooth dynamics broadcast the

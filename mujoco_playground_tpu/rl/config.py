@@ -28,6 +28,9 @@ class RLConfig:
     # potential-based progress shaping weight (0 = the faithful reference
     # reward; see EnvConfig.progress_reward_scale)
     progress_reward: float = 0.0
+    # per-env randomized physics (mass/friction/damping/actuators/floor);
+    # wraps the env in DomainRandomizedEnv -> the DR megakernel path
+    domain_rand: bool = False
 
     # Reward weights (ackermann_env.py:287-301)
     distance_weight: float = -0.1

@@ -23,6 +23,10 @@ def evaluate_agent(env, policy_fn: Callable, num_episodes: int = 10,
     """policy_fn: obs (B, obs_size) -> action (B, 2) (deterministic)."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
     max_steps = max_steps or env.config.max_episode_steps
+    # a DomainRandomizedEnv is batch-bound (its per-slot models carry a
+    # fixed leading axis): one episode per randomized slot
+    if hasattr(env, "num_envs"):
+        num_episodes = env.num_envs
 
     states = jax.vmap(env.reset)(jax.random.split(rng, num_episodes))
 

@@ -34,6 +34,17 @@ from mujoco_playground_tpu.utils.logging import MetricsLogger
 
 
 def build_env(config: RLConfig):
+    env = _build_base_env(config)
+    if config.domain_rand:
+        from mujoco_playground_tpu.envs.domain_randomization import \
+            DomainRandomizedEnv
+        env = DomainRandomizedEnv(
+            env, config.num_envs,
+            jax.random.PRNGKey(config.seed ^ 0x5EED))
+    return env
+
+
+def _build_base_env(config: RLConfig):
     return make_ackermann_env(
         env_type=config.env_type, maze_id=config.maze_id,
         max_linear_velocity=config.max_linear_velocity,
@@ -289,6 +300,9 @@ def main(argv=None):
                         "policy, Ng et al. 1999)")
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument("--domain-rand", action="store_true",
+                   help="per-env randomized physics (mass/friction/damping/"
+                        "actuators/floor); runs the DR megakernel")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--eval-only", action="store_true",
                    help="restore the latest checkpoint under --log-dir and "
@@ -314,7 +328,8 @@ def main(argv=None):
         normalize_obs=args.normalize, normalize_reward=args.normalize,
         reference_compat=args.reference_compat,
         sane_collision=args.sane_collision,
-        progress_reward=args.progress_reward, log_dir=args.log_dir)
+        progress_reward=args.progress_reward, log_dir=args.log_dir,
+        domain_rand=args.domain_rand)
 
     print("=" * 60)
     print("Ackermann Robot RL Training (TPU)")

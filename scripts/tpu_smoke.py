@@ -145,7 +145,7 @@ def smoke_dr():
         DomainRandomizedEnv
     env = make_env()
     dr = DomainRandomizedEnv(env, B, jax.random.PRNGKey(2))
-    states = dr.reset(jax.random.split(jax.random.PRNGKey(3), B))
+    states = jax.vmap(dr.reset)(jax.random.split(jax.random.PRNGKey(3), B))
 
     def rollout(states, keys):
         def body(s, key):

@@ -23,7 +23,7 @@ def test_identical_actions_diverge_across_randomized_envs():
     env = DomainRandomizedEnv(env0, B, jax.random.PRNGKey(1))
     # identical starts: same reset key for every env slot
     same_key = jnp.tile(jax.random.PRNGKey(0)[None], (B, 1))
-    states = jax.jit(env.reset)(same_key)
+    states = jax.jit(jax.vmap(env.reset))(same_key)
     np.testing.assert_array_equal(np.asarray(states.physics.qpos[0]),
                                   np.asarray(states.physics.qpos[-1]))
     acts = jnp.tile(jnp.asarray([0.8, 0.5]), (B, 1))
@@ -47,7 +47,7 @@ def test_unrandomized_envs_stay_identical():
         floor_z_offset=(0.0, 0.0))
     env = DomainRandomizedEnv(env0, B, jax.random.PRNGKey(1), tight)
     same_key = jnp.tile(jax.random.PRNGKey(0)[None], (B, 1))
-    states = jax.jit(env.reset)(same_key)
+    states = jax.jit(jax.vmap(env.reset))(same_key)
     acts = jnp.tile(jnp.asarray([0.8, 0.5]), (B, 1))
     step = jax.jit(env.step_batch)
     for _ in range(20):
@@ -65,7 +65,7 @@ def test_dr_fast_path_matches_per_env_vmap():
                               solver_iterations=6, ls_iterations=4)
     B = 8
     env = DomainRandomizedEnv(env0, B, jax.random.PRNGKey(2))
-    states = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(0), B))
+    states = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(0), B))
     acts = jax.random.uniform(jax.random.PRNGKey(1), (B, 2),
                               minval=-1.0, maxval=1.0)
     fast = jax.jit(env.step_batch)(states, acts)
