@@ -328,8 +328,7 @@ class AckermannEnv:
             # observes, and the delayed-obs compat mode reads PRE-step
             # frames so it observes separately
             want_env = (i == cfg.physics_substeps - 1
-                        and not cfg.reference_delayed_obs
-                        and base_model is None)
+                        and not cfg.reference_delayed_obs)
             if want_env:
                 cols = [states.odom_ref.position[:, :2], states.goal,
                         states.prev_goal_distance[:, None]]
@@ -337,8 +336,8 @@ class AckermannEnv:
                     cols.append(_fresh_xy)
                 env_in = jnp.concatenate(cols, axis=-1).astype(self.dtype)
                 physics, env_slab = engine.step_batch(
-                    model, physics, with_env=self._env_statics(),
-                    env_in=env_in,
+                    model, physics, base_model=base_model,
+                    with_env=self._env_statics(), env_in=env_in,
                     with_fresh=(self._fresh_statics()
                                 if _fresh_xy is not None else None))
             else:
@@ -396,7 +395,8 @@ class AckermannEnv:
             min_lidar=metrics["min_lidar"], prev_goal_distance=goal_distance)
         return (new, None) if _fresh_xy is not None else new
 
-    def step_autoreset_batch(self, states: EnvState, actions) -> EnvState:
+    def step_autoreset_batch(self, states: EnvState, actions, models=None,
+                             base_model=None) -> EnvState:
         """Batched step with in-step auto-reset (see step_autoreset).
 
         The fresh resets are built WITHOUT their own observation
@@ -409,9 +409,14 @@ class AckermannEnv:
         to the explicit two-scan path under ``reference_delayed_obs``
         (there the step obs reflects the pre-step state, so
         observe(merged) would not equal it).
+
+        ``models``/``base_model``: domain randomization, as in
+        :meth:`step_batch` — the fused path (incl. the fresh-spawn scan)
+        consumes the per-env plane_z inside the kernel.
         """
         if self.config.reference_delayed_obs:
-            st = self.step_batch(states, actions)
+            st = self.step_batch(states, actions, models=models,
+                                 base_model=base_model)
             rngs = jax.vmap(jax.random.split)(st.rng)
             done = st.done
             fresh = jax.vmap(self.reset)(rngs[:, 1])
@@ -426,7 +431,8 @@ class AckermannEnv:
             fresh = jax.vmap(self.reset_core)(rngs[:, 1])
             fresh = fresh.replace(rng=rngs[:, 0])
             st, fresh_lidar = self.step_batch(
-                states, actions, _fresh_xy=fresh.physics.xpos[:, 1, :2])
+                states, actions, models=models, base_model=base_model,
+                _fresh_xy=fresh.physics.xpos[:, 1, :2])
             done = st.done
             merged = jax.tree.map(functools.partial(select_done, done),
                                   fresh, st)
@@ -446,9 +452,21 @@ class AckermannEnv:
                     jnp.full((B, 1), heading0, self.dtype),
                     g, gd0[:, None], ang[:, None]], axis=-1)
                 obs = jnp.where(done[:, None], fresh_obs, st.obs)
-            else:
+            elif base_model is None:
                 obs, _ = self._observe_batch(merged.physics,
                                              merged.odom_ref, merged.goal)
+            else:
+                # staged DR fallback: observe with each env's own model so
+                # the randomized plane_z reaches the raycast, matching the
+                # fused path exactly
+                bdict = engine.batched_field_dict(models, base_model)
+
+                def obs_dr(p, ref, goal, leaves):
+                    return self._observe(p, ref, goal,
+                                         model=base_model.replace(**leaves))
+
+                obs, _ = jax.vmap(obs_dr, in_axes=(0, 0, 0, 0))(
+                    merged.physics, merged.odom_ref, merged.goal, bdict)
             merged = merged.replace(obs=obs)
         return merged.replace(
             reward=st.reward, terminated=st.terminated, truncated=st.truncated,

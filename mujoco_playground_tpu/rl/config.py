@@ -54,6 +54,15 @@ class RLConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     normalize_advantage: bool = True
+    # Minibatch shuffle granularity (rows of the flattened T*B batch moved
+    # together).  1 = SB3-exact per-row reshuffle each epoch; the default
+    # 128 shuffles 128-row blocks + a random roll that re-cuts block
+    # boundaries every epoch.  Per-row random gathers run at ~12 GB/s on
+    # TPU (per-row DMA) and made the 10-epoch update 48 ms at 4096x32;
+    # block shuffling is ~4x the whole update cost cheaper (12 ms) at
+    # unchanged learning quality (rl/ppo.py update_epoch).  Values that
+    # don't divide the minibatch size fall back to per-row.
+    shuffle_block_size: int = 128
     # SB3 VecNormalize-equivalent running obs/reward scaling (off in the
     # reference's shipped run; the standard recipe for actually solving
     # this reward scale — collision -50/step vs distance -0.1/step)

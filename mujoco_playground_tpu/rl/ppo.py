@@ -11,7 +11,11 @@ through DummyVecEnv, one env) with torch minibatch updates (src/rl/train.py:
 Nothing leaves the device between updates; the host only reads back scalar
 metrics.  Algorithm semantics follow SB3 PPO (clipped surrogate, value MSE,
 entropy bonus, advantage normalization per minibatch, global-norm grad clip,
-Adam eps=1e-5, timeout bootstrapping from terminal observations).
+Adam eps=1e-5, timeout bootstrapping from terminal observations), with one
+documented TPU deviation: the per-epoch minibatch reshuffle moves rows in
+blocks by default (config.shuffle_block_size, PARITY.md) because per-row
+random gathers are ~20x slower than block DMAs on TPU;
+shuffle_block_size=1 restores SB3's exact per-row reshuffle.
 """
 from __future__ import annotations
 
@@ -272,22 +276,46 @@ def make_train_step(env, network, config: RLConfig) -> Callable:
     def update_epoch(carry, key):
         params, opt_state, flat_batch, advs, rets = carry
         n = advs.shape[0]
-        perm = jax.random.permutation(key, n)
         mb = config.num_minibatches
         mb_size = n // mb
+        blk = max(int(getattr(config, "shuffle_block_size", 1)), 1)
 
-        def minibatch_step(c, idx):
+        # Shuffle ONCE per epoch into minibatch-major layout; the grad-step
+        # scan then reads contiguous (mb_size, ...) slices.  Per-ROW random
+        # gathers run at ~12 GB/s on v5e (one DMA per 316-byte row) and
+        # cost 38 of the 48 ms 10-epoch update at 4096x32; shuffling
+        # 128-row BLOCKS moves the same bytes in large DMAs for ~1.8 ms
+        # total (update: 48 -> 12 ms).  A random roll first re-cuts the
+        # block boundaries each epoch so rows don't stay glued to the same
+        # blockmates.  shuffle_block_size=1 keeps the SB3-exact per-row
+        # reshuffle (PARITY.md).
+        if blk > 1 and n % blk == 0 and mb_size % blk == 0:
+            k_perm, k_roll = jax.random.split(key)
+            nb = n // blk
+            perm = jax.random.permutation(k_perm, nb)
+            shift = jax.random.randint(k_roll, (), 0, n)
+
+            def take(x):
+                rolled = jnp.roll(x, shift, axis=0)
+                blocks = rolled.reshape((nb, blk) + x.shape[1:])
+                return jnp.take(blocks, perm, axis=0).reshape(
+                    (mb, mb_size) + x.shape[1:])
+        else:
+            perm = jax.random.permutation(key, n)
+            take = lambda x: jnp.take(x, perm[:mb * mb_size], axis=0).reshape(
+                (mb, mb_size) + x.shape[1:])
+        shuffled = (jax.tree.map(take, flat_batch), take(advs), take(rets))
+
+        def minibatch_step(c, data):
             params, opt_state = c
-            take = lambda x: jnp.take(x, idx, axis=0)
-            (loss, aux), grads = grad_fn(
-                params, jax.tree.map(take, flat_batch), take(advs), take(rets))
+            batch, a, r = data
+            (loss, aux), grads = grad_fn(params, batch, a, r)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), aux
 
-        idxs = perm[:mb * mb_size].reshape(mb, mb_size)
         (params, opt_state), auxs = jax.lax.scan(
-            minibatch_step, (params, opt_state), idxs)
+            minibatch_step, (params, opt_state), shuffled)
         return (params, opt_state, flat_batch, advs, rets), auxs
 
     def rollout_gae(ts: TrainState):

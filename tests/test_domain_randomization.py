@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mujoco_playground_tpu.envs import make_ackermann_env
 from mujoco_playground_tpu.envs.domain_randomization import (
@@ -56,6 +57,7 @@ def test_unrandomized_envs_stay_identical():
     np.testing.assert_allclose(qpos[0], qpos[-1], atol=1e-12)
 
 
+@pytest.mark.slow
 def test_dr_fast_path_matches_per_env_vmap():
     """The batched DR fast path equals vmapping the per-env step over
     (model_axes, state, action) — f64, exact."""
@@ -77,6 +79,7 @@ def test_dr_fast_path_matches_per_env_vmap():
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_dr_megakernel_matches_staged_path():
     """The domain-randomized megakernel (per-env scalar parameters packed
     as lane inputs, physics/engine.py DR branch) must match the staged
@@ -110,3 +113,73 @@ def test_dr_megakernel_matches_staged_path():
                                atol=1e-4)
     # sanity: dynamics vary across envs (per-env parameters + spawns)
     assert float(jnp.std(out.qvel, axis=0).max()) > 1e-3
+
+
+@pytest.mark.slow
+def test_dr_fused_env_matches_staged_path():
+    """The DR megakernel's FUSED obs/reward/auto-reset path (round-4: the
+    randomized plane_z rides into the in-kernel raycast as a per-env lane)
+    must match the staged per-env XLA observe through
+    step_autoreset_batch."""
+    import jax.numpy as jnp
+
+    from mujoco_playground_tpu.physics import engine
+
+    env0 = make_ackermann_env("maze", "umaze", solver_iterations=4,
+                              ls_iterations=3)
+    B = 8
+    # wide floor randomization so a fused/staged plane_z mismatch in the
+    # lidar would be visible well above f32 noise
+    cfg = RandomizationConfig(floor_z_offset=(-0.02, 0.02))
+    env = DomainRandomizedEnv(env0, B, jax.random.PRNGKey(5), cfg)
+    states = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(0), B))
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (B, 2),
+                              minval=-1.0, maxval=1.0)
+
+    ref = jax.jit(env.step_autoreset_batch)(states, acts)
+    old = engine.FORCE_MEGAKERNEL
+    engine.FORCE_MEGAKERNEL = B
+    try:
+        out = jax.jit(env.step_autoreset_batch)(states, acts)
+    finally:
+        engine.FORCE_MEGAKERNEL = old
+    np.testing.assert_allclose(np.asarray(out.obs), np.asarray(ref.obs),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.reward),
+                               np.asarray(ref.reward), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
+
+
+def test_lidar_rows_take_per_env_plane_z_lane():
+    """The in-kernel raycast must consume plane_z as a (B,) lane: with the
+    chassis pitched nose-down (beams 30 degrees below horizontal) a per-env
+    floor height changes each env's forward reading, and each lane must
+    equal the static-plane scan at that env's own plane_z."""
+    import jax.numpy as jnp
+
+    from mujoco_playground_tpu.ops.lidar_pallas import (lidar_rows,
+                                                        lidar_statics)
+
+    env = make_ackermann_env("simple", solver_iterations=2, ls_iterations=2)
+    stat = lidar_statics(env.model)
+    site_body = stat[0]
+    b = site_body[0]
+    B = 4
+    # pitch +30 deg about +Y: the forward half of the beam circle tilts
+    # 30 degrees below horizontal and sees the floor
+    half = np.deg2rad(30.0) / 2
+    quat = [float(np.cos(half)), 0.0, float(np.sin(half)), 0.0]
+    bp = {b: [jnp.zeros((B,)), jnp.zeros((B,)), jnp.full((B,), 0.2)]}
+    bq = {b: [jnp.full((B,), q) for q in quat]}
+    plane_lane = jnp.asarray([0.0, -0.05, -0.1, -0.2])
+    rows = lidar_rows(*(stat[:5] + (plane_lane,) + stat[6:]), bp, bq)
+    arr = np.asarray(rows)             # (nsite, B)
+    hit_all = (arr >= 0).all(axis=1)
+    assert hit_all.any(), "no beam saw the floor in every env"
+    assert arr[hit_all].std(axis=1).max() > 1e-3, "per-env plane_z ignored"
+    for j, pz in enumerate(np.asarray(plane_lane)):
+        bp1 = {b: [leaf[j:j + 1] for leaf in bp[b]]}
+        bq1 = {b: [leaf[j:j + 1] for leaf in bq[b]]}
+        ref = lidar_rows(*(stat[:5] + (float(pz),) + stat[6:]), bp1, bq1)
+        np.testing.assert_allclose(np.asarray(rows)[:, j],
+                                   np.asarray(ref)[:, 0], atol=1e-6)

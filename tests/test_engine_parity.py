@@ -112,6 +112,7 @@ def test_step_is_jit_vmap_compatible(floor_pair):
     assert np.isfinite(np.asarray(stepped.qpos)).all()
 
 
+@pytest.mark.slow
 def test_f32_production_solver_accuracy():
     """The production config (f32, 4 Newton / 3 ls iterations) tracks the
     converged f64/20-iteration solution at float32 rounding level — the

@@ -142,6 +142,7 @@ def test_reference_lidar_aliasing_flag():
     np.testing.assert_array_equal(obs[0:10], np.full(10, obs[71]))
 
 
+@pytest.mark.slow
 def test_open_floor_reproduces_reference_learning_dynamics():
     """The reference's published PPO returns collapse to ~-47k/episode on
     the open floor because every no-hit lidar beam (-1) triggers the -50
@@ -167,6 +168,7 @@ def test_open_floor_reproduces_reference_learning_dynamics():
     assert float(s2.reward) > -2.0
 
 
+@pytest.mark.slow
 def test_autoreset_starts_new_episode():
     env = AckermannEnv(config=EnvConfig(max_episode_steps=5))
     state = env.reset(jax.random.PRNGKey(0))
@@ -179,6 +181,7 @@ def test_autoreset_starts_new_episode():
     assert not bool(state.done)
 
 
+@pytest.mark.slow
 def test_batched_autoreset_matches_per_env_path():
     """step_autoreset_batch's merged-single-observe restructure must equal
     vmap(step_autoreset) exactly (same RNG stream, same obs/reward/flags),
@@ -206,6 +209,7 @@ def test_batched_autoreset_matches_per_env_path():
             np.asarray(states_v.physics.qpos), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_observe_batch_matches_vmap_observe():
     env = AckermannEnv(maze_id="PointMaze_UMaze-v3",
                        solver_iterations=2, ls_iterations=2)
@@ -223,6 +227,7 @@ def test_observe_batch_matches_vmap_observe():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_statistical_long_horizon_parity():
     """Distribution-level parity over full 1000-step episodes (VERDICT r1).
 
@@ -304,6 +309,7 @@ def test_statistical_long_horizon_parity():
         (our_success, mj_success)
 
 
+@pytest.mark.slow
 def test_progress_reward_shaping_telescopes():
     """Potential-based shaping (opt-in): shaped reward == faithful reward
     + scale*(d_prev - d_new), seeded with the INITIAL goal distance at

@@ -57,6 +57,51 @@ def _run_both(env, states, actions, fn_name):
     return fused, plain
 
 
+def test_fused_paths_trace(force_megakernel, env_and_states):
+    """QUICK gate: abstractly trace every public entry point through the
+    megakernel gate (jax.eval_shape runs the full trace — including the
+    Pallas kernel bodies — without interpret-mode execution, so it catches
+    trace-time failures like the round-2 ConcretizationTypeError in
+    seconds).  The numeric fused-vs-fallback parity lives in the `slow`
+    tests below; Mosaic lowering is scripts/tpu_smoke.py's job."""
+    env, states, actions = env_and_states
+    out = jax.eval_shape(env.step_batch, states, actions)
+    assert out.obs.shape == (B, env.obs_size)
+    out = jax.eval_shape(env.step_autoreset_batch, states, actions)
+    assert out.obs.shape == (B, env.obs_size)
+
+
+def test_fused_dr_path_traces(force_megakernel):
+    """QUICK gate: the domain-randomized fused path (DR megakernel with
+    in-kernel obs/reward + fresh scan, per-env plane_z lanes) traces
+    end-to-end."""
+    from mujoco_playground_tpu.envs.domain_randomization import \
+        DomainRandomizedEnv
+    from mujoco_playground_tpu.ops import step_pallas
+    env0 = make_ackermann_env("maze", "umaze", solver_iterations=4,
+                              ls_iterations=3)
+    env = DomainRandomizedEnv(env0, B, jax.random.PRNGKey(2))
+    states = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(3), B))
+    actions = jnp.zeros((B, 2))
+    calls = []
+    orig = step_pallas.build_step_fn
+
+    def spy(*a, **kw):
+        calls.append(kw)
+        return orig(*a, **kw)
+
+    step_pallas.build_step_fn = spy
+    try:
+        out = jax.eval_shape(env.step_autoreset_batch, states, actions)
+    finally:
+        step_pallas.build_step_fn = orig
+    assert out.obs.shape == (B, env.obs_size)
+    assert any(kw.get("dr_fields") and kw.get("with_env") is not None
+               and kw.get("with_fresh") is not None for kw in calls), \
+        "DR autoreset step must take the fused DR megakernel path"
+
+
+@pytest.mark.slow
 def test_step_batch_fused_gate_matches_fallback(force_megakernel,
                                                 env_and_states):
     env, states, actions = env_and_states
@@ -76,6 +121,7 @@ def test_step_batch_fused_gate_matches_fallback(force_megakernel,
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_step_autoreset_batch_fused_gate_matches_fallback(force_megakernel,
                                                           env_and_states):
     """The round-2 crash site: the fresh-lidar branch (fresh obs assembly
@@ -122,7 +168,10 @@ def test_fused_gate_used(force_megakernel, env_and_states):
 
     step_pallas.build_step_fn, engine_builder = spy, orig
     try:
-        jax.jit(env.step_autoreset_batch)(states, actions)
+        # abstract trace suffices (and keeps this in the quick tier): the
+        # gate is read at trace time, so the spy fires without executing
+        # the interpret-mode kernel
+        jax.eval_shape(env.step_autoreset_batch, states, actions)
     finally:
         step_pallas.build_step_fn = engine_builder
     assert calls, "megakernel builder never invoked under FORCE_MEGAKERNEL"

@@ -4,10 +4,13 @@ MuJoCo rangefinder sensordata in tests/test_engine_parity.py."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mujoco_playground_tpu.envs import make_ackermann_env
 from mujoco_playground_tpu.ops import lidar_pallas
 from mujoco_playground_tpu.physics import engine, raycast
+
+pytestmark = pytest.mark.slow  # interpret-mode kernels / long-horizon (full tier)
 
 B = 8
 

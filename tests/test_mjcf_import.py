@@ -13,6 +13,7 @@ from mujoco_playground_tpu.spec.robot import ackermann_robot_v2
 from mujoco_playground_tpu.spec.scene import pointmaze_scene
 
 
+@pytest.mark.slow
 def test_roundtrip_export_import_dynamics():
     """to_mjcf -> from_mjcf -> make_model reproduces the original engine."""
     spec0 = ackermann_robot_v2()

@@ -134,6 +134,7 @@ def test_running_stats_match_numpy_oracle():
     assert np.abs(np.asarray(r)).max() <= 10.0
 
 
+@pytest.mark.slow
 def test_normalized_train_step_runs_and_normalizes(small_setup):
     env, network, config, _ = small_setup
     import dataclasses

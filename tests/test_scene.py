@@ -123,6 +123,7 @@ def test_ragged_maze_map_rejected():
         scene_lib.normalize_maze_map([[1, 1], [1]])
 
 
+@pytest.mark.slow
 def test_make_env_accepts_registry_id_and_custom_map():
     from mujoco_playground_tpu.envs import make_ackermann_env
     env = make_ackermann_env("maze", "PointMaze_Open_Diverse_G-v3",

@@ -39,6 +39,7 @@ def test_env_batch_shards_across_mesh(cpu_mesh):
     assert np.isfinite(np.asarray(stepped.obs)).all()
 
 
+@pytest.mark.slow
 def test_sharded_train_step(cpu_mesh):
     config = RLConfig(num_envs=16, unroll_length=4, num_minibatches=2,
                       ppo_epochs=1, solver_iterations=2, ls_iterations=2)

@@ -18,6 +18,8 @@ from mujoco_playground_tpu.envs import make_ackermann_env
 from mujoco_playground_tpu.physics import engine
 from mujoco_playground_tpu.ops import step_pallas
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels / long-horizon (full tier)
+
 B = 8
 
 

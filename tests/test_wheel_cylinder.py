@@ -206,6 +206,7 @@ def test_face_down_wheel_rests_stably(floor_pair):
     assert float(st.qpos[2]) > -0.05
 
 
+@pytest.mark.slow
 def test_megakernel_collision_twin_matches_at_extreme_poses(floor_pair):
     """The Pallas collide_lanes twin (interpret mode) must reproduce the
     host narrowphase through a full step at tilted/flipped poses — the

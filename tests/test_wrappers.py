@@ -70,6 +70,7 @@ def test_cmd_vel_bus():
     assert bus.get_latest() is msg
 
 
+@pytest.mark.slow
 def test_gym_vector_env():
     pytest.importorskip("gymnasium")
     import numpy as np
