@@ -220,38 +220,57 @@ def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
     # arrays per insert, but donation hangs the axon TPU tunnel on this rig;
     # XLA still reuses buffers well enough without it.
     warmup_step = jax.jit(make_step(random_actions=True))
-    train_step = jax.jit(make_step(random_actions=False))
+    train_step = make_step(random_actions=False)
     logger = MetricsLogger(log_dir)
 
     # Track the step count host-side (each iteration advances a fixed
     # number of env steps) — device readbacks every iteration are expensive.
     steps_per_iter = 4 * config.num_envs
-    log_every = max(1, 100_000 // steps_per_iter)
+    log_every = max(1, min(100_000, total_timesteps) // steps_per_iter)
+
+    # One iteration is ~1 ms of device work (4 megakernel env steps at 256
+    # envs + 8 tiny-MLP grad updates); dispatching it per-iteration through
+    # the remote tunnel costs ~7-15 ms of host latency — the binding
+    # resource behind round-3's 68k/141k steps/s.  Scan `log_every`
+    # iterations inside ONE jitted call so dispatch amortizes over ~100k
+    # env-steps (same cadence the logger/saver already used).
+    def chunk_fn(state):
+        def body(st, _):
+            return train_step(st)
+        state, ms = jax.lax.scan(body, state, None, length=log_every)
+        ms = {k: (v.mean() if k == "mean_reward" else v[-1])
+              for k, v in ms.items()}
+        return state, ms
+    chunk_j = jax.jit(chunk_fn)
+
     start_gs = int(state.global_step)
     gs = start_gs
     next_save = (start_gs // config.save_freq + 1) * config.save_freq
-    it = 0
+    while gs < config.sac_learning_starts and gs < total_timesteps:
+        state, metrics = warmup_step(state)
+        gs += steps_per_iter
     t0 = time.time()
     while gs < total_timesteps:
-        step_fn = (warmup_step if gs < config.sac_learning_starts
-                   else train_step)
-        state, metrics = step_fn(state)
-        gs += steps_per_iter
-        it += 1
-        if it % log_every == 0:
-            metrics = {k: float(v) for k, v in metrics.items()}
-            metrics["steps_per_second"] = ((gs - start_gs)
-                                           / max(time.time() - t0, 1e-9))
-            logger.log(gs, metrics)
+        state, metrics = chunk_j(state)
+        jax.block_until_ready(metrics["mean_reward"])
+        t1 = time.time()
+        gs += steps_per_iter * log_every
+        metrics = {k: float(v) for k, v in metrics.items()}
+        # marginal rate over this chunk (the first chunk's rate includes
+        # its one-time compile; steady state from the second line on)
+        metrics["steps_per_second"] = (steps_per_iter * log_every
+                                       / max(t1 - t0, 1e-9))
+        t0 = t1
+        logger.log(gs, metrics)
+        if verbose:
+            print(f"[{algo}] step {gs:>9d} | "
+                  f"reward/step {metrics['mean_reward']:+8.3f} | "
+                  f"{metrics['steps_per_second']/1e3:7.1f}k sps")
+        if gs >= next_save:
+            path = ckpt_lib.save_checkpoint(log_dir, state, gs)
+            next_save = (gs // config.save_freq + 1) * config.save_freq
             if verbose:
-                print(f"[{algo}] step {gs:>9d} | "
-                      f"reward/step {metrics['mean_reward']:+8.3f} | "
-                      f"{metrics['steps_per_second']/1e3:7.1f}k sps")
-            if gs >= next_save:
-                path = ckpt_lib.save_checkpoint(log_dir, state, gs)
-                next_save = (gs // config.save_freq + 1) * config.save_freq
-                if verbose:
-                    print(f"  checkpoint -> {path}")
+                print(f"  checkpoint -> {path}")
     ckpt_lib.save_checkpoint(log_dir, state, gs)
     stats = evaluate_agent(env, mod.deterministic_policy(env, state),
                            num_episodes=eval_episodes)
