@@ -82,6 +82,13 @@ class EnvConfig:
     # (Ng et al. 1999); use with --progress-reward for training runs that
     # aim past the reference's 0% success plateau.
     progress_reward_scale: float = 0.0
+    # Parity-compat contact manifolds (PARITY.md approx 1-2): reproduce
+    # MuJoCo's support-face flat-plate pick / 5-point wheel-box patch on
+    # demand.  Both route physics through the staged XLA step (the
+    # megakernel bakes the default manifolds) — parity knobs, not for
+    # production speed.
+    reference_flat_manifold: bool = False
+    reference_wheel_patch: bool = False
 
 
 def select_done(done, fresh, stepped):
@@ -151,7 +158,9 @@ class AckermannEnv:
         spec = ackermann_robot_v2()
         self.model: Model = make_model(
             spec, scene, dtype=dtype, solver_iterations=solver_iterations,
-            ls_iterations=ls_iterations)
+            ls_iterations=ls_iterations,
+            compat_flat_manifold=config.reference_flat_manifold,
+            compat_wheel_patch=config.reference_wheel_patch)
         self.dtype = dtype
 
         if self.arena == "maze":

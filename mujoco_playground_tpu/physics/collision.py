@@ -170,7 +170,9 @@ def collide(model: Model, xpos, xquat) -> Contacts:
             for k in range(min(TOPK_W, model.num_scene_boxes)):
                 bp = box_pos[idx[k]]
                 bs = box_size[idx[k]]
-                for dist, n, p in _cylinder_box(c, a, r, h, bp, bs, dtype):
+                for dist, n, p in _cylinder_box(
+                        c, a, r, h, bp, bs, dtype,
+                        patch=model.compat_wheel_patch):
                     pos_l.append(p)
                     frame_l.append(_make_frame(n))
                     dist_l.append(dist)
@@ -204,11 +206,8 @@ def collide(model: Model, xpos, xquat) -> Contacts:
         solref, solimp = model.plane_solref, model.plane_solimp
         dists = verts[:, 2] - model.plane_z
         score = dists - bias
-        for q in quads:
-            sub = dists[q]
-            k = jnp.argmin(score[q])
-            p = verts[q][k]
-            dist = sub[k]
+
+        def emit_chassis_plane(p, dist):
             pos_l.append(p - 0.5 * dist * zhat)
             frame_l.append(_make_frame(zhat))
             dist_l.append(dist)
@@ -217,6 +216,36 @@ def collide(model: Model, xpos, xquat) -> Contacts:
             solimp_l.append(solimp)
             diag_l.append(chassis_iw[i])
             body_l.append(b)
+
+        if model.compat_flat_manifold:
+            # MuJoCo-compat manifold (PARITY.md approx 1): the native convex
+            # collider's plane contacts are the verts of the penetration
+            # face its EPA terminates on — the deepest hull face incident
+            # to the support vertex (verified against MuJoCo 3.10: the
+            # flipped flat plate's 3 contacts are exactly one hull
+            # triangle).  3 clustered points cannot span the support
+            # polygon, so a flat plate rocks — reference-exact regime.
+            faces = np.asarray(model.chassis_hull_faces[i], np.int32)
+            if faces.size == 0:
+                raise ValueError(
+                    "compat_flat_manifold needs hull_faces for every "
+                    f"chassis geom (geom {i} has none)")
+            fj = jnp.asarray(faces)                          # (F, 3)
+            support = jnp.argmin(dists)
+            contains = jnp.any(fj == support, axis=1)
+            fsum = jnp.sum(dists[fj], axis=1)
+            fsel = jnp.argmin(jnp.where(contains, fsum,
+                                        jnp.asarray(jnp.inf, dtype)))
+            tri = fj[fsel]                                   # (3,)
+            for k in range(3):
+                emit_chassis_plane(verts[tri[k]], dists[tri[k]])
+            # 4th slot (static TOPK_H=4 layout) parked inactive
+            emit_chassis_plane(verts[support], jnp.asarray(1.0, dtype))
+        else:
+            for q in quads:
+                sub = dists[q]
+                k = jnp.argmin(score[q])
+                emit_chassis_plane(verts[q][k], sub[k])
         if model.num_scene_boxes > 0:
             center = xpos[b] + mu.quat_rotate(xquat[b],
                                               model.chassis_box_pos[i])
@@ -248,7 +277,7 @@ def collide(model: Model, xpos, xquat) -> Contacts:
         body=np.asarray(body_l, np.int32))
 
 
-def _cylinder_box(c, a, r, h, bp, bs, dtype):
+def _cylinder_box(c, a, r, h, bp, bs, dtype, patch=False):
     """Cylinder (center c, unit axis a, radius r, half-height h) vs AABB.
 
     Returns two candidate contacts [(dist, normal box->wheel, midpoint)] —
@@ -259,6 +288,12 @@ def _cylinder_box(c, a, r, h, bp, bs, dtype):
     edge/corner regions at wheel scale.  Degenerate face-on approach
     (closest direction parallel to the axis) falls back to a fixed radial
     so the contact depth is still exact (any ring point is equidistant).
+
+    ``patch=True`` (compat_wheel_patch, PARITY.md approx 2) appends the 3
+    mid-tread points MuJoCo 3.10's clipped-polygon manifold adds for a
+    tread segment resting on a face — one at the axis midpoint's closest
+    ring point plus the measured +-2e-3 rad clip pair around it — giving
+    MuJoCo's 5 equal-depth contacts instead of the 2 segment endpoints.
     """
     out = []
     # a stable fallback radial (perpendicular to a): prefer x-hat, else y-hat
@@ -269,9 +304,9 @@ def _cylinder_box(c, a, r, h, bp, bs, dtype):
     use_x = jnp.linalg.norm(fx) > 0.1
     fall = jnp.where(use_x, fx, fy)
     fall = fall / jnp.maximum(jnp.linalg.norm(fall), 1e-12)
-    for e in (-1.0, 1.0):
-        ce = c + e * h * a
+    def ring_point(ce):
         q = ce
+        u = fall
         for _ in range(2):
             cp = bp + jnp.clip(q - bp, -bs, bs)
             d = cp - ce
@@ -279,7 +314,17 @@ def _cylinder_box(c, a, r, h, bp, bs, dtype):
             dn = jnp.linalg.norm(dperp)
             u = jnp.where(dn > 1e-9, dperp / jnp.maximum(dn, 1e-9), fall)
             q = ce + r * u
+        return q, u
+
+    for e in (-1.0, 1.0):
+        q, _ = ring_point(c + e * h * a)
         out.append(_point_box(q, bp, bs, dtype))
+    if patch:
+        _, u = ring_point(c)
+        w = jnp.cross(a, u)
+        for phi in (0.0, 2e-3, -2e-3):
+            qm = c + r * (math.cos(phi) * u + math.sin(phi) * w)
+            out.append(_point_box(qm, bp, bs, dtype))
     return out
 
 

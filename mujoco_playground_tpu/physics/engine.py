@@ -158,6 +158,10 @@ def step_batch(model: Model, states: State,
     # (e.g. SAC's 256 envs) still take the megakernel
     block_b = ((512 if B % 512 == 0 else step_pallas.BLOCK_B) if on_tpu
                else int(FORCE_MEGAKERNEL) if FORCE_MEGAKERNEL else 0)
+    # parity-compat manifolds (PARITY.md approx 1-2) exist only in the
+    # staged collide(); the megakernel bakes the default manifolds
+    if model.compat_flat_manifold or model.compat_wheel_patch:
+        block_b = 0
     # megakernel path: one fused Pallas kernel for the whole step, plus
     # (optionally) the lidar scan and the env obs/reward pipeline.  Under
     # domain randomization — when every randomized leaf is one of the

@@ -81,7 +81,22 @@ class Model:
     # contact depth ties so the kept manifold spans the support polygon)
     chassis_hull_bias: Tuple[Tuple[float, ...], ...] = \
         struct.field(pytree_node=False)
+    # hull triangles (index triples into chassis_hull_verts' leading,
+    # unpadded region) in MuJoCo's mesh-graph face order; consumed by the
+    # compat_flat_manifold support-face manifold
+    chassis_hull_faces: Tuple[Tuple[Tuple[int, int, int], ...], ...] = \
+        struct.field(pytree_node=False)
     num_scene_boxes: int = struct.field(pytree_node=False)
+    # Parity-compat manifolds (PARITY.md approximations 1-2), both off by
+    # default.  compat_flat_manifold: chassis-vs-plane contacts are the
+    # support vertex's deepest incident hull FACE (MuJoCo's native convex
+    # collider emits the EPA face — 3 clustered points that make a flat
+    # plate rock) instead of the quadrant-spread pick.  compat_wheel_patch:
+    # wheel-vs-box adds MuJoCo's 3 mid-tread patch points to the 2 segment
+    # endpoints (5 equal-depth contacts).  Both force the staged XLA step
+    # path (the megakernel bakes the default manifolds).
+    compat_flat_manifold: bool = struct.field(pytree_node=False)
+    compat_wheel_patch: bool = struct.field(pytree_node=False)
     # solver
     solver_iterations: int = struct.field(pytree_node=False)
     ls_iterations: int = struct.field(pytree_node=False)
@@ -337,6 +352,20 @@ def _hull_spread_bias(hull):
     return tuple(float(x) for x in (_HULL_SPREAD_EPS * r))
 
 
+# Triangulation of an 8-corner box hull whose corner k has sign pattern
+# (x, y, z) = (k>>2, (k>>1)&1, k&1) over (-1, +1) — the ordering the
+# box-corner fallback below generates.  Two triangles per face; winding is
+# irrelevant (the compat manifold only gathers face vertices).
+_BOX_TRIS = (
+    (0, 2, 6), (0, 6, 4),   # z = -1
+    (1, 7, 3), (1, 5, 7),   # z = +1
+    (0, 1, 5), (0, 5, 4),   # y = -1
+    (2, 3, 7), (2, 7, 6),   # y = +1
+    (0, 1, 3), (0, 3, 2),   # x = -1
+    (4, 5, 7), (4, 7, 6),   # x = +1
+)
+
+
 def _pad_hulls(hulls):
     """Per-geom vertex clouds padded to a common V with their centroid
     (strictly interior, so padding never becomes the deepest vertex
@@ -356,7 +385,9 @@ def make_model(spec: st.ModelSpec,
                scene: Optional[SceneSpec] = None,
                dtype=jnp.float32,
                solver_iterations: int = 16,
-               ls_iterations: int = 8) -> Model:
+               ls_iterations: int = 8,
+               compat_flat_manifold: bool = False,
+               compat_wheel_patch: bool = False) -> Model:
     """Compile a ModelSpec (+ static scene) into a Model pytree."""
     scene = scene if scene is not None else open_floor_scene()
     order, fused = _fuse_welded(spec)
@@ -385,6 +416,7 @@ def make_model(spec: st.ModelSpec,
     wheel_friction, wheel_solref, wheel_solimp = [], [], []
     cbox_body, cbox_pos, cbox_quat, cbox_size = [], [], [], []
     cbox_hull = []
+    cbox_faces = []
 
     for name in order:
         i = body_index[name]
@@ -450,7 +482,10 @@ def make_model(spec: st.ModelSpec,
                 cbox_size.append(np.asarray(g.size))
                 if g.hull is not None:
                     cbox_hull.append(np.asarray(g.hull, dtype=np.float64))
+                    cbox_faces.append(tuple(tuple(int(v) for v in f)
+                                            for f in (g.hull_faces or ())))
                 else:
+                    cbox_faces.append(_BOX_TRIS)
                     # box corners as the vertex cloud (body frame)
                     w_, x_, y_, z_ = g.quat
                     Rg = np.array([
@@ -553,7 +588,10 @@ def make_model(spec: st.ModelSpec,
                                      for h in cbox_hull_padded),
         chassis_hull_bias=tuple(_hull_spread_bias(h)
                                 for h in cbox_hull_padded),
+        chassis_hull_faces=tuple(cbox_faces),
         num_scene_boxes=int(scene.num_boxes),
+        compat_flat_manifold=bool(compat_flat_manifold),
+        compat_wheel_patch=bool(compat_wheel_patch),
         solver_iterations=solver_iterations, ls_iterations=ls_iterations,
         body_pos=arr(body_pos), body_quat=arr(body_quat),
         body_mass=arr(body_mass), body_ipos=arr(body_ipos),

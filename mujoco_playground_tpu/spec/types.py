@@ -72,6 +72,12 @@ class GeomSpec:
     # box used for MJCF export and raycast OBB tests).  None => derive the
     # cloud from the box's 8 corners.
     hull: Optional[Tuple[Tuple[float, float, float], ...]] = None
+    # Triangles of the convex hull (index triples into ``hull``), in
+    # MuJoCo's compiled mesh-graph face order.  Only consumed by the
+    # ``compat_flat_manifold`` parity flag (the support-face manifold of
+    # MuJoCo's native convex collider); None => flag unavailable for this
+    # geom.
+    hull_faces: Optional[Tuple[Tuple[int, int, int], ...]] = None
 
 
 @dataclasses.dataclass
