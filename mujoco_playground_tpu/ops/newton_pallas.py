@@ -114,7 +114,7 @@ def _cholesky_solve_lanes(H, g, n, order=None):
 
 
 def newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups,
-                order=None):
+                order=None, a0=None):
     """The Newton loop on structure-grouped lanes (reused by the fused step
     kernel and the standalone Newton kernel).
 
@@ -206,8 +206,10 @@ def newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups,
         return [sadd(*[smul(M[v][w], dvec[w]) for w in range(nv)])
                 for v in range(nv)]
 
-    avec = [a_s[v] for v in range(nv)]
-    a_s_vec = list(avec)
+    # warm start: iterate from a0 (the previous step's solution) while the
+    # objective's smooth anchor M(a - a_s) stays at a_s
+    avec = [a_s[v] for v in range(nv)] if a0 is None else list(a0)
+    a_s_vec = [a_s[v] for v in range(nv)]
     for _it in range(iterations):
         xj, x4 = row_values(avec)
         fq_j = [joint_force(r, x) for r, x in zip(jrows, xj)]
@@ -302,9 +304,16 @@ def newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups,
 
 
 def _newton_kernel(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
-                   Mt_ref, a_s_ref, Gt_ref, j_aref_ref, j_R_ref, j_floss_ref,
-                   j_active_ref, Jnt_ref, Jt1t_ref, Jt2t_ref, c_aref_ref,
-                   c_R_ref, c_mu_ref, c_active_ref, out_ref):
+                   has_ws, *refs):
+    if has_ws:
+        (Mt_ref, a_s_ref, ws_ref, Gt_ref, j_aref_ref, j_R_ref, j_floss_ref,
+         j_active_ref, Jnt_ref, Jt1t_ref, Jt2t_ref, c_aref_ref,
+         c_R_ref, c_mu_ref, c_active_ref, out_ref) = refs
+    else:
+        (Mt_ref, a_s_ref, Gt_ref, j_aref_ref, j_R_ref, j_floss_ref,
+         j_active_ref, Jnt_ref, Jt1t_ref, Jt2t_ref, c_aref_ref,
+         c_R_ref, c_mu_ref, c_active_ref, out_ref) = refs
+        ws_ref = None
     # array refs -> the list structure newton_body consumes (entries here
     # are all runtime lanes — the standalone kernel receives the system
     # from HBM, so there is no static sparsity to prune; the fused step
@@ -328,7 +337,9 @@ def _newton_kernel(nv, nj, nc, iterations, ls_iterations, is_eq, is_fric,
                     Jt2=[Jt2t[v] for v in range(nv)],
                     aref4=[c_aref[k] for k in range(4)],
                     Rinv=1.0 / c_R, mu=c_mu, active=c_active)] if nc else []
-    avec = newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups)
+    a0 = [ws_ref[v] for v in range(nv)] if ws_ref is not None else None
+    avec = newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups,
+                       a0=a0)
     out_ref[...] = jnp.stack(avec)
 
 
@@ -336,13 +347,15 @@ def newton_solve_pallas(Mt, a_s, G, j_aref, j_R, j_floss, j_active, j_kind,
                         Jn, Jt1, Jt2, c_aref, c_R, c_mu, c_active,
                         iterations: int, ls_iterations: int,
                         block_b: int = BLOCK_B, interpret: bool = False,
-                        pre_transposed: bool = False):
+                        pre_transposed: bool = False, warmstart=None):
     """Batch-last Newton solve; B % block_b == 0. Returns qacc (nv, B).
 
     Inputs either row-major (G (nj,nv,B), Jn (nc,nv,B), c_aref (nc,4,B) — as
     produced by solver_batched._transpose_efc) or, with
     ``pre_transposed=True``, already in kernel layout (Gt (nv,nj,B),
     Jnt (nv,nc,B), c_aref (4,nc,B) — as produced by constraint_bl).
+    ``warmstart``: optional (nv, B) Newton initial point (previous step's
+    qacc); the objective's anchor stays a_s.
     """
     nv, B = a_s.shape
     from mujoco_playground_tpu.physics.constraint import EQ, FRICTION
@@ -365,7 +378,8 @@ def newton_solve_pallas(Mt, a_s, G, j_aref, j_R, j_floss, j_active, j_kind,
         c_aref4 = jnp.moveaxis(c_aref, 1, 0)  # (4, nc, B)
 
     kernel = functools.partial(
-        _newton_kernel, nv, nj, nc, iterations, ls_iterations, is_eq, is_fric)
+        _newton_kernel, nv, nj, nc, iterations, ls_iterations, is_eq,
+        is_fric, warmstart is not None)
 
     def spec(*row_dims):
         nrow = len(row_dims)
@@ -373,16 +387,18 @@ def newton_solve_pallas(Mt, a_s, G, j_aref, j_R, j_floss, j_active, j_kind,
                             lambda i, _n=nrow: (0,) * _n + (i,),
                             memory_space=pltpu.VMEM)
 
+    ws_in = [] if warmstart is None else [warmstart]
+    ws_spec = [] if warmstart is None else [spec(nv)]
     return pl.pallas_call(
         kernel,
         grid=(B // block_b,),
-        in_specs=[
-            spec(nv, nv), spec(nv), spec(nv, nj), spec(nj), spec(nj),
+        in_specs=[spec(nv, nv), spec(nv)] + ws_spec + [
+            spec(nv, nj), spec(nj), spec(nj),
             spec(nj), spec(nj), spec(nv, nc), spec(nv, nc), spec(nv, nc),
             spec(4, nc), spec(nc), spec(nc), spec(nc),
         ],
         out_specs=spec(nv),
         out_shape=jax.ShapeDtypeStruct((nv, B), a_s.dtype),
         interpret=interpret,
-    )(Mt, a_s, Gt, j_aref, j_R, j_floss, j_active, Jnt, Jt1t, Jt2t,
+    )(Mt, a_s, *ws_in, Gt, j_aref, j_R, j_floss, j_active, Jnt, Jt1t, Jt2t,
       c_aref4, c_R, c_mu, c_active)

@@ -956,16 +956,15 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
                  lidar_statics, env_statics, fresh_statics, dr_fields,
                  *refs):
     refs = list(refs)
-    dr_ref = refs.pop(3) if dr_fields else None
+    qpos_ref, qvel_ref, ctrl_ref, ws_ref = refs[:4]
+    refs = refs[4:]
+    dr_ref = refs.pop(0) if dr_fields else None
+    env_in_ref = refs.pop(0) if env_statics is not None else None
+    qpos_out, qvel_out, xpos_out, xquat_out, qacc_out = refs[:5]
     if env_statics is not None:
-        (qpos_ref, qvel_ref, ctrl_ref, env_in_ref,
-         qpos_out, qvel_out, xpos_out, xquat_out, env_out) = refs
+        env_out = refs[5]
     elif lidar_statics is not None:
-        (qpos_ref, qvel_ref, ctrl_ref,
-         qpos_out, qvel_out, xpos_out, xquat_out, lidar_out) = refs
-    else:
-        (qpos_ref, qvel_ref, ctrl_ref,
-         qpos_out, qvel_out, xpos_out, xquat_out) = refs
+        lidar_out = refs[5]
     from mujoco_playground_tpu.physics.constraint import EQ, FRICTION
     nq, nv, nu = sm.nq, sm.nv, sm.nu
     B = block_b
@@ -1041,8 +1040,13 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
             Rinv=stk([1.0 / c["R"] for c in rows]), mu=mu,
             active=stk([c["active"] for c in rows])))
     a_s = [_lane(a, B, dtype) for a in qacc_smooth]
+    # warm start: Newton iterates from the previous step's qacc (HBM lane
+    # input, MuJoCo's qacc_warmstart semantics); the objective's smooth
+    # anchor stays a_s
+    a0 = [ws_ref[v] for v in range(nv)]
     qacc = newton_body(nv, iterations, ls_iterations, M, a_s, njrows,
-                       cgroups, order=order)
+                       cgroups, order=order, a0=a0)
+    qacc_out[...] = jnp.stack([_lane(q, B, dtype) for q in qacc])
 
     # ---- implicit-damping Euler: (M + h D) v' = M (v + h a) + h D v ------
     MhD = [[M[v][w] for w in range(nv)] for v in range(nv)]
@@ -1249,11 +1253,19 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
         return pl.BlockSpec((rows, block_b), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    def step(qpos, qvel, ctrl, env_in=None, dr_params=None):
+    def step(qpos, qvel, ctrl, env_in=None, dr_params=None, warmstart=None):
+        """Returns (qpos', qvel', xpos, xquat, qacc[, slab]).
+
+        ``warmstart``: (B, nv) Newton initial point (previous step's qacc);
+        zeros (a reset state's warm start) when omitted.  The returned
+        ``qacc`` (B, nv) is the next step's warm start.
+        """
         B = qpos.shape[0]
         dtype = qpos.dtype
-        in_specs = [spec(sm.nq), spec(sm.nv), spec(sm.nu)]
-        inputs = [qpos.T, qvel.T, ctrl.T]
+        if warmstart is None:
+            warmstart = jnp.zeros((B, sm.nv), dtype)
+        in_specs = [spec(sm.nq), spec(sm.nv), spec(sm.nu), spec(sm.nv)]
+        inputs = [qpos.T, qvel.T, ctrl.T, warmstart.T]
         if dr_fields:
             in_specs.append(spec(n_dr))
             inputs.append(dr_params)
@@ -1261,12 +1273,13 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
             in_specs.append(spec(7 if with_fresh is not None else 5))
             inputs.append(env_in.T)
         out_specs = [spec(sm.nq), spec(sm.nv), spec(sm.nbody * 3),
-                     spec(sm.nbody * 4)]
+                     spec(sm.nbody * 4), spec(sm.nv)]
         out_shape = [
             jax.ShapeDtypeStruct((sm.nq, B), dtype),
             jax.ShapeDtypeStruct((sm.nv, B), dtype),
             jax.ShapeDtypeStruct((sm.nbody * 3, B), dtype),
             jax.ShapeDtypeStruct((sm.nbody * 4, B), dtype),
+            jax.ShapeDtypeStruct((sm.nv, B), dtype),
         ]
         if lstat is not None:
             rows = nsite
@@ -1284,12 +1297,12 @@ def build_step_fn(model, iterations: int, ls_iterations: int,
             out_shape=out_shape,
             interpret=interpret,
         )(*inputs)
-        qpos_n, qvel_n, xpos_n, xquat_n = outs[:4]
+        qpos_n, qvel_n, xpos_n, xquat_n, qacc_n = outs[:5]
         xpos = jnp.moveaxis(xpos_n.reshape(sm.nbody, 3, B), -1, 0)
         xquat = jnp.moveaxis(xquat_n.reshape(sm.nbody, 4, B), -1, 0)
         if lstat is not None:
-            return qpos_n.T, qvel_n.T, xpos, xquat, outs[4].T
-        return qpos_n.T, qvel_n.T, xpos, xquat
+            return qpos_n.T, qvel_n.T, xpos, xquat, qacc_n.T, outs[5].T
+        return qpos_n.T, qvel_n.T, xpos, xquat, qacc_n.T
 
     _BUILD_CACHE[key] = (model, step)
     return step

@@ -68,7 +68,8 @@ def forward(model: Model, state: State):
 
     contacts = collision.collide(model, xpos, xquat)
     efc = constraint.make_efc(model, qpos, qvel, S, mask, anchor, contacts)
-    qacc, efc_force = solver.solve(model, M, qacc_smooth, efc)
+    qacc, efc_force = solver.solve(model, M, qacc_smooth, efc,
+                                   warmstart=state.qacc_warmstart)
     aux = dict(M=M, xpos=xpos, xquat=xquat, qfrc_smooth=qfrc_smooth,
                qacc_smooth=qacc_smooth, contacts=contacts, efc=efc,
                efc_force=efc_force,
@@ -192,7 +193,7 @@ def step_batch(model: Model, states: State,
             kernel_model.ls_iterations, block_b=block_b,
             interpret=not on_tpu, with_lidar=fuse_lidar,
             with_env=fuse_env, with_fresh=with_fresh, dr_fields=dr_names)
-        kw = {}
+        kw = {"warmstart": states.qacc_warmstart}
         if dr_names:
             kw["dr_params"] = step_pallas.pack_dr_params(
                 model, dr_names).astype(states.qpos.dtype)
@@ -200,14 +201,15 @@ def step_batch(model: Model, states: State,
             outs = fn(states.qpos, states.qvel, states.ctrl, env_in, **kw)
         else:
             outs = fn(states.qpos, states.qvel, states.ctrl, **kw)
-        qpos_n, qvel_n, xpos_n, xquat_n = outs[:4]
+        qpos_n, qvel_n, xpos_n, xquat_n, qacc_n = outs[:5]
         new = states.replace(qpos=qpos_n, qvel=qvel_n,
                              time=states.time + kernel_model.timestep,
-                             xpos=xpos_n, xquat=xquat_n)
+                             xpos=xpos_n, xquat=xquat_n,
+                             qacc_warmstart=qacc_n)
         if with_env is not None:
-            return (new, outs[4] if fuse_env is not None else None)
+            return (new, outs[5] if fuse_env is not None else None)
         if with_lidar:
-            return (new, outs[4] if fuse_lidar else None)
+            return (new, outs[5] if fuse_lidar else None)
         return new
 
     h = model.timestep
@@ -255,8 +257,9 @@ def step_batch(model: Model, states: State,
         efc = jax.vmap(assemble_dr, in_axes=(0, 0, 0, 0))(
             states, S_env, anchor_env, bdict)
     M_env = jnp.moveaxis(M_bl, -1, 0)                    # (B, nv, nv)
-    qacc, _forces = solver_batched.solve_batched(model, M_env, qacc_smooth,
-                                                 efc)
+    qacc, _forces = solver_batched.solve_batched(
+        model, M_env, qacc_smooth, efc,
+        warmstart=states.qacc_warmstart)
 
     # Batch-last implicit-damping integration: (M + hD) v' = Mv + hDv + hMa.
     a = qacc.T
@@ -272,7 +275,8 @@ def step_batch(model: Model, states: State,
     xpos = jnp.stack([x.T for x in xpos_l], axis=1)      # (B, nbody, 3)
     xquat = jnp.stack([x.T for x in xquat_l], axis=1)
     new = states.replace(qpos=qpos_new_bl.T, qvel=qvel_new_bl.T,
-                         time=states.time + h, xpos=xpos, xquat=xquat)
+                         time=states.time + h, xpos=xpos, xquat=xquat,
+                         qacc_warmstart=qacc)
     return (new, None) if (with_lidar or with_env is not None) else new
 
 
@@ -291,4 +295,4 @@ def step(model: Model, state: State) -> State:
     qpos_new = _integrate_pos(model, state.qpos, qvel_new, h)
     xpos, xquat = kinematics.fk(model, qpos_new)
     return state.replace(qpos=qpos_new, qvel=qvel_new, time=state.time + h,
-                         xpos=xpos, xquat=xquat)
+                         xpos=xpos, xquat=xquat, qacc_warmstart=qacc)

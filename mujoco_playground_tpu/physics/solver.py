@@ -69,8 +69,13 @@ def _pyr4(efc: Efc, an, at1, at2):
 
 
 def solve(model, M, qacc_smooth, efc: Efc, iterations=None,
-          ls_iterations=None):
-    """Newton solve -> (qacc, (joint_forces, contact_forces4))."""
+          ls_iterations=None, warmstart=None):
+    """Newton solve -> (qacc, (joint_forces, contact_forces4)).
+
+    ``warmstart``: optional (nv,) initial point (the previous step's qacc,
+    MuJoCo's qacc_warmstart semantics).  The objective stays anchored at
+    ``qacc_smooth``; only the iteration start moves.
+    """
     iterations = iterations or model.solver_iterations
     ls_iterations = ls_iterations or model.ls_iterations
     dtype = qacc_smooth.dtype
@@ -145,7 +150,8 @@ def solve(model, M, qacc_smooth, efc: Efc, iterations=None,
                              0.0, 2.0)
         return a + alpha * delta, None
 
-    a, _ = jax.lax.scan(newton_iter, qacc_smooth, None, length=iterations)
+    a0 = qacc_smooth if warmstart is None else warmstart
+    a, _ = jax.lax.scan(newton_iter, a0, None, length=iterations)
     xj, x4 = row_values(a)
     fj, _ = _joint_forces(efc, xj, masks)
     f4, _ = _contact_forces(efc, x4)

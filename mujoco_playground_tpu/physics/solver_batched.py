@@ -48,7 +48,7 @@ def _transpose_efc(efc: Efc, nv: int):
 
 def solve_batched(model, M, qacc_smooth, efc: Efc,
                   iterations=None, ls_iterations=None,
-                  use_pallas: bool = None) -> Tuple:
+                  use_pallas: bool = None, warmstart=None) -> Tuple:
     """Batched Newton solve.
 
     Args: M (B, nv, nv); qacc_smooth (B, nv); efc with (B, ...) leaves.
@@ -56,6 +56,8 @@ def solve_batched(model, M, qacc_smooth, efc: Efc,
 
     ``use_pallas``: run the Newton loop as one fused Pallas kernel (the TPU
     fast path; defaults to True on TPU backends, False on CPU).
+    ``warmstart``: optional (B, nv) Newton initial point (previous step's
+    qacc, MuJoCo's qacc_warmstart semantics).
     """
     iterations = iterations or model.solver_iterations
     ls_iterations = ls_iterations or model.ls_iterations
@@ -63,7 +65,7 @@ def solve_batched(model, M, qacc_smooth, efc: Efc,
         use_pallas = jax.devices()[0].platform != "cpu"
     if use_pallas and qacc_smooth.shape[0] % 256 == 0:
         return _solve_pallas(model, M, qacc_smooth, efc, iterations,
-                             ls_iterations)
+                             ls_iterations, warmstart=warmstart)
     dtype = qacc_smooth.dtype
     nv = qacc_smooth.shape[-1]
     kind = np.asarray(efc.j_kind)
@@ -172,7 +174,8 @@ def solve_batched(model, M, qacc_smooth, efc: Efc,
                              0.0, 2.0)
         return a + alpha[None, :] * delta, None
 
-    a, _ = jax.lax.scan(newton_iter, a_s, None, length=iterations)
+    a0 = a_s if warmstart is None else warmstart.T
+    a, _ = jax.lax.scan(newton_iter, a0, None, length=iterations)
     xj, x4 = row_values(a)
     fj, _ = joint_forces(xj)
     f4, _ = contact_forces(x4)
@@ -182,7 +185,7 @@ def solve_batched(model, M, qacc_smooth, efc: Efc,
 
 
 def _solve_pallas(model, M, qacc_smooth, efc: Efc, iterations,
-                  ls_iterations):
+                  ls_iterations, warmstart=None):
     """Fused-kernel path: Newton loop in VMEM (ops/newton_pallas.py)."""
     from mujoco_playground_tpu.ops import newton_pallas
 
@@ -192,7 +195,8 @@ def _solve_pallas(model, M, qacc_smooth, efc: Efc, iterations,
     a = newton_pallas.newton_solve_pallas(
         Mt, qacc_smooth.T, e["G"], e["j_aref"], e["j_R"], e["j_floss"],
         e["j_active"], efc.j_kind, e["Jn"], e["Jt1"], e["Jt2"], e["c_aref"],
-        e["c_R"], e["c_mu"], e["c_active"], iterations, ls_iterations)
+        e["c_R"], e["c_mu"], e["c_active"], iterations, ls_iterations,
+        warmstart=None if warmstart is None else warmstart.T)
 
     # Final forces (diagnostics / qfrc_constraint), one cheap XLA pass.
     kind = np.asarray(efc.j_kind)

@@ -24,6 +24,13 @@ class State:
     # Derived body frames, kept in sync by forward/step (world frame).
     xpos: Any          # (nbody, 3)
     xquat: Any         # (nbody, 4)
+    # Previous step's constraint-solve solution, carried as the Newton
+    # initial point (MuJoCo's qacc_warmstart: mj_resetData zeroes it, every
+    # mj_forward starts the solver from it).  Physics changes little in one
+    # 2 ms step, so the warm Newton needs ~half the iterations for the same
+    # accuracy.  Zeros at reset — for a robot at rest the converged qacc is
+    # ~0, so the cold init is already close.
+    qacc_warmstart: Any  # (nv,)
 
 
 def make_state(model: Model, qpos=None, qvel=None) -> State:
@@ -36,4 +43,5 @@ def make_state(model: Model, qpos=None, qvel=None) -> State:
     xpos, xquat = kinematics.fk(model, qpos)
     return State(qpos=qpos, qvel=qvel,
                  ctrl=jnp.zeros(model.nu, model.dtype),
-                 time=jnp.zeros((), model.dtype), xpos=xpos, xquat=xquat)
+                 time=jnp.zeros((), model.dtype), xpos=xpos, xquat=xquat,
+                 qacc_warmstart=jnp.zeros(model.nv, model.dtype))

@@ -42,6 +42,11 @@ class RLConfig:
     num_envs: int = 4096
     unroll_length: int = 32               # T per rollout (n_steps per env)
 
+    # Policy/value tower widths (reference checkpoint: 64x64 tanh).  Wider
+    # towers cost nothing on TPU at 4096-env batches (the matmuls are still
+    # tiny for the MXU) and help on the harder solved-task configs.
+    hidden_sizes: Tuple[int, ...] = (64, 64)
+
     # PPO (train.py:100-107)
     learning_rate: float = 3e-4
     num_minibatches: int = 32

@@ -62,7 +62,8 @@ def _build_base_env(config: RLConfig):
 def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
               profile_dir: str = None, eval_only: bool = False):
     env = build_env(config)
-    network = ActorCritic(action_size=env.action_size)
+    network = ActorCritic(action_size=env.action_size,
+                          hidden=tuple(config.hidden_sizes))
     rng = jax.random.PRNGKey(config.seed)
     ts = ppo.init_train_state(env, network, config, rng)
 
@@ -289,7 +290,22 @@ def main(argv=None):
                    help="episodes (for --algo random)")
     p.add_argument("--timesteps", type=int, default=100000)
     p.add_argument("--max-velocity", type=float, default=1.0)
+    p.add_argument("--max-angular", type=float, default=1.0,
+                   help="cmd_vel angular_z cap (rad/s).  The reference env "
+                        "pins 1.0, which at speed caps the bicycle steering "
+                        "angle near 8 deg (arctan(L*w/v)) — far inside the "
+                        "servo's +-35 deg range — making maze corners "
+                        "uncompletable within the 2 s episode; raise it "
+                        "(e.g. 3.0) to let policies use the real steering "
+                        "envelope")
     p.add_argument("--goal-threshold", type=float, default=0.5)
+    p.add_argument("--max-episode-steps", type=int, default=1000,
+                   help="episode truncation (physics steps at 500 Hz).  The "
+                        "reference pins 1000 = 2 s of sim time, under which "
+                        "most start/goal pairs are physically unreachable "
+                        "(the robot's measured top speed is ~1 m/s and its "
+                        "U-turn costs ~5 s — scripts/dev_scripted_ceiling."
+                        "py); 3000 gives a solvable task")
     p.add_argument("--maze", default=None,
                    choices=[None, "umaze", "open", "medium", "large"])
     p.add_argument("--maze-id", default="PointMaze_UMaze-v3")
@@ -302,6 +318,8 @@ def main(argv=None):
     p.add_argument("--minibatches", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--anneal-lr", action="store_true")
+    p.add_argument("--hidden", type=int, nargs="+", default=[64, 64],
+                   help="policy/value tower widths (reference ckpt: 64 64)")
     p.add_argument("--reference-compat", action="store_true",
                    help="reproduce the reference env's artifacts exactly "
                         "(stale-obs stepping + lidar name-aliasing bug)")
@@ -336,7 +354,9 @@ def main(argv=None):
         env_type="maze" if args.maze else "simple",
         maze_id=args.maze or args.maze_id,
         max_linear_velocity=args.max_velocity,
+        max_angular_velocity=args.max_angular,
         goal_distance_threshold=args.goal_threshold,
+        max_episode_steps=args.max_episode_steps,
         total_timesteps=args.timesteps,
         learning_rate=args.learning_rate or 3e-4,
         save_freq=args.save_freq, eval_freq=args.eval_freq,
@@ -344,6 +364,7 @@ def main(argv=None):
         num_envs=args.num_envs, unroll_length=args.unroll,
         num_minibatches=args.minibatches, seed=args.seed,
         anneal_lr=args.anneal_lr, gamma=args.gamma, ent_coef=args.ent_coef,
+        hidden_sizes=tuple(args.hidden),
         normalize_obs=args.normalize, normalize_reward=args.normalize,
         reference_compat=args.reference_compat,
         sane_collision=args.sane_collision,

@@ -36,21 +36,29 @@ def scripted_policy(env):
         angle = obs[..., 78]
         dist = obs[..., 77]
         lidar = obs[..., :72]
-        # side repulsion: compare left (beams ~10-26) vs right (~46-62)
-        # min clearance; steer away from the closer wall when close
         valid = jnp.where(lidar < 0, 12.0, lidar)
         left = jnp.min(valid[..., 6:30], axis=-1)
         right = jnp.min(valid[..., 42:66], axis=-1)
         front = jnp.minimum(jnp.min(valid[..., :6], axis=-1),
                             jnp.min(valid[..., 66:72], axis=-1))
-        repulse = jnp.where(left < 0.25, -1.0, 0.0) + \
-            jnp.where(right < 0.25, 1.0, 0.0)
-        steer = jnp.clip(2.5 * angle + 1.2 * repulse, -1.0, 1.0)
-        # slow for sharp bearing errors and when a wall is dead ahead;
-        # brake near the goal to not overshoot past the 0.5 m ring
-        speed = jnp.clip(1.0 - 0.55 * jnp.abs(angle), 0.25, 1.0)
-        speed = jnp.where(front < 0.2, 0.3, speed)
-        speed = jnp.where(dist < 0.3, 0.4, speed)
+        back = jnp.min(valid[..., 30:42], axis=-1)
+
+        # the robot's turn rate saturates near 0.6 rad/s (steering clip +
+        # understeer), so a U-turn costs more than the 2 s episode; goals
+        # in the rear hemisphere are driven to in REVERSE (negative
+        # linear_x flips the pursuit axis)
+        fwd = jnp.abs(angle) <= jnp.pi / 2
+        e_rev = jnp.where(angle > 0, angle - jnp.pi, angle + jnp.pi)
+        err = jnp.where(fwd, angle, e_rev)
+
+        repulse = jnp.where(jnp.minimum(left, right) < 0.22,
+                            jnp.where(left < right, -1.0, 1.0), 0.0)
+        steer = jnp.clip(3.0 * err + 1.0 * repulse, -1.0, 1.0)
+        mag = jnp.clip(1.0 - 0.5 * jnp.abs(err), 0.3, 1.0)
+        clear = jnp.where(fwd, front, back)
+        mag = jnp.where(clear < 0.2, 0.35, mag)
+        mag = jnp.where(dist < 0.3, 0.45, mag)
+        speed = jnp.where(fwd, mag, -mag)
         return jnp.stack([speed, steer], axis=-1)
 
     return policy
@@ -59,6 +67,7 @@ def scripted_policy(env):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--max-velocity", type=float, default=1.5)
+    p.add_argument("--max-angular", type=float, default=1.0)
     p.add_argument("--episodes", type=int, default=512)
     p.add_argument("--maze", default="PointMaze_UMaze-v3")
     args = p.parse_args()
@@ -66,11 +75,13 @@ def main():
     env = make_ackermann_env(
         env_type="maze", maze_id=args.maze,
         max_linear_velocity=args.max_velocity,
+        max_angular_velocity=args.max_angular,
         collision_ignores_nohit=True)
     stats = evaluate_agent(env, scripted_policy(env),
                            num_episodes=args.episodes,
                            rng=jax.random.PRNGKey(7))
-    print(f"max_velocity={args.max_velocity} episodes={args.episodes}")
+    print(f"max_velocity={args.max_velocity} max_angular={args.max_angular} "
+          f"episodes={args.episodes}")
     for k, v in stats.items():
         print(f"  {k}: {v:.3f}")
 

@@ -228,7 +228,9 @@ def test_wheel_patch_net_wrench_matches_default():
         else:
             qacc_d = np.asarray(qacc)
     # same push-out acceleration of the free body to solver tolerance
-    np.testing.assert_allclose(qacc_p[:6], qacc_d[:6], rtol=0, atol=2e-3)
+    # (|qacc| ~ 50 here: rtol dominates; the absolute floor covers the
+    # near-zero lateral components)
+    np.testing.assert_allclose(qacc_p[:6], qacc_d[:6], rtol=3e-4, atol=2e-3)
 
 
 def test_compat_flags_route_to_staged_path():

@@ -54,7 +54,13 @@ def test_unrandomized_envs_stay_identical():
     for _ in range(20):
         states = step(states, acts)
     qpos = np.asarray(states.physics.qpos)
-    np.testing.assert_allclose(qpos[0], qpos[-1], atol=1e-12)
+    # Not exactly 0 on CPU: XLA may duplicate the qacc computation for the
+    # extra qacc_warmstart output buffer with different vectorization
+    # (remainder lanes take the scalar libm path), giving 1-ulp lane
+    # differences that the warm-start feedback then amplifies — measured
+    # 2e-11 after 20 steps, still 4+ orders below anything physical.  On
+    # the TPU's uniform VPU lanes the trajectories stay bit-identical.
+    np.testing.assert_allclose(qpos[0], qpos[-1], atol=1e-8)
 
 
 @pytest.mark.slow

@@ -43,8 +43,8 @@ def test_megakernel_matches_engine_step(warm_states):
     env, model, phys, step_ref = warm_states
     step_fn = step_pallas.build_step_fn(model, 4, 3, block_b=B,
                                         interpret=True)
-    qpos_n, qvel_n, xpos_n, xquat_n = step_fn(phys.qpos, phys.qvel,
-                                              phys.ctrl)
+    qpos_n, qvel_n, xpos_n, xquat_n, qacc_n = step_fn(
+        phys.qpos, phys.qvel, phys.ctrl, warmstart=phys.qacc_warmstart)
     ref = step_ref(phys)
     # the env model is f32 (production dtype) even under the x64 test
     # config: agreement should be at f32 rounding relative to state scale
@@ -62,8 +62,8 @@ def test_megakernel_fused_lidar_matches_raycast(warm_states):
     env, model, phys, step_ref = warm_states
     step_fn = step_pallas.build_step_fn(model, 4, 3, block_b=B,
                                         interpret=True, with_lidar=True)
-    qpos_n, qvel_n, xpos_n, xquat_n, lidar = step_fn(phys.qpos, phys.qvel,
-                                                     phys.ctrl)
+    qpos_n, qvel_n, xpos_n, xquat_n, _, lidar = step_fn(
+        phys.qpos, phys.qvel, phys.ctrl, warmstart=phys.qacc_warmstart)
     ref_lidar = jax.vmap(lambda xp, xq: raycast.lidar(model, xp, xq))(
         xpos_n, xquat_n)
     assert lidar.shape == (B, 72)
@@ -71,7 +71,8 @@ def test_megakernel_fused_lidar_matches_raycast(warm_states):
         < 1e-5
     # and the physics outputs are unchanged by the fused scan
     plain = step_pallas.build_step_fn(model, 4, 3, block_b=B, interpret=True)
-    qp2, qv2, _, _ = plain(phys.qpos, phys.qvel, phys.ctrl)
+    qp2, qv2, _, _, _ = plain(phys.qpos, phys.qvel, phys.ctrl,
+                              warmstart=phys.qacc_warmstart)
     assert float(jnp.max(jnp.abs(qpos_n - qp2))) == 0.0
     assert float(jnp.max(jnp.abs(qvel_n - qv2))) == 0.0
 
@@ -127,8 +128,9 @@ def test_megakernel_fused_env_matches_observe_and_reward(warm_states):
         step_fn = step_pallas.build_step_fn(model, 4, 3, block_b=B_,
                                             interpret=True,
                                             with_env=statics)
-        qp, qv, xp, xq, slab = step_fn(phys.qpos, phys.qvel, phys.ctrl,
-                                       env_in)
+        qp, qv, xp, xq, _, slab = step_fn(phys.qpos, phys.qvel, phys.ctrl,
+                                          env_in,
+                                          warmstart=phys.qacc_warmstart)
         ref = OdometryRef(
             position=jnp.pad(ref_xy, ((0, 0), (0, 1))),
             quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0], phys.qpos.dtype),

@@ -230,7 +230,8 @@ def test_megakernel_collision_twin_matches_at_extreme_poses(floor_pair):
         st = step_ref(st)
 
     fn = step_pallas.build_step_fn(model, 4, 3, block_b=B, interpret=True)
-    qp, qv, xp, xq = fn(st.qpos, st.qvel, st.ctrl)
+    qp, qv, xp, xq, _ = fn(st.qpos, st.qvel, st.ctrl,
+                           warmstart=st.qacc_warmstart)
     ref = step_ref(st)
     assert float(jnp.max(jnp.abs(qp - ref.qpos))) < 1e-6
     assert float(jnp.max(jnp.abs(qv - ref.qvel))) < 1e-4
