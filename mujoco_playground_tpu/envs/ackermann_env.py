@@ -89,6 +89,12 @@ class EnvConfig:
     # production speed.
     reference_flat_manifold: bool = False
     reference_wheel_patch: bool = False
+    # Reward weights.  collision_penalty is the reference's -50-per-step
+    # wall-proximity term (ackermann_env.py:287-301).  It is the term that
+    # caps goal-seeking on the solved-task configs (grazing a wall for 50
+    # steps costs more than reaching the goal earns), so the trainer
+    # exposes it (--collision-penalty); the default stays faithful.
+    collision_penalty: float = -50.0
 
 
 def select_done(done, fresh, stepped):
@@ -107,7 +113,7 @@ def reward_terms(cfg, goal_distance, collision, terminated,
     """
     return (-goal_distance * 0.1
             + jnp.where(terminated, 100.0, 0.0)
-            + jnp.where(collision, -50.0, 0.0)
+            + jnp.where(collision, cfg.collision_penalty, 0.0)
             - 0.01
             + cfg.progress_reward_scale
             * (prev_goal_distance - goal_distance))
@@ -492,7 +498,8 @@ class AckermannEnv:
                 float(cfg.goal_distance_threshold),
                 float(cfg.progress_reward_scale),
                 bool(cfg.reference_lidar_aliasing),
-                bool(cfg.collision_ignores_nohit))
+                bool(cfg.collision_ignores_nohit),
+                float(cfg.collision_penalty))
 
     def _fresh_statics(self):
         """Baked template frames for the megakernel's fused auto-reset

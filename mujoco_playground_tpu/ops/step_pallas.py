@@ -1116,8 +1116,8 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
             # semantics of envs.ackermann_env._observe_batch + its reward
             # block, with the config constants baked): keeps the obs
             # assembly and reward math out of XLA entirely.
-            (coll_th, goal_th, prog_scale, aliasing, ignores_nohit) = \
-                env_statics
+            (coll_th, goal_th, prog_scale, aliasing, ignores_nohit,
+             coll_pen) = env_statics
             if aliasing:
                 rows = [rows[71]] * 10 + rows[10:]
             ref_x = env_in_ref[0]
@@ -1153,7 +1153,7 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
             # (parity: tests/test_step_pallas.py fused-env test)
             reward = (-gd * 0.1
                       + jnp.where(terminated, 100.0, 0.0)
-                      + jnp.where(collision, -50.0, 0.0)
+                      + jnp.where(collision, coll_pen, 0.0)
                       - 0.01
                       + prog_scale * (prev_gd - gd))
             out_rows = rows + [px, py, heading, gx, gy, gd, ga,

@@ -55,6 +55,7 @@ def _build_base_env(config: RLConfig):
         reference_lidar_aliasing=config.reference_compat,
         collision_ignores_nohit=config.sane_collision,
         progress_reward_scale=config.progress_reward,
+        collision_penalty=config.collision_penalty,
         solver_iterations=config.solver_iterations,
         ls_iterations=config.ls_iterations)
 
@@ -335,6 +336,11 @@ def main(argv=None):
                         "SCALE*(d_prev - d_new) toward the goal (0 = the "
                         "faithful reference reward; preserves the optimal "
                         "policy, Ng et al. 1999)")
+    p.add_argument("--collision-penalty", type=float, default=-50.0,
+                   help="per-step reward when min lidar < 0.15 m (reference: "
+                        "-50, which outweighs the +100 goal bonus after ~2 "
+                        "grazed corners and caps goal-seeking; -5 makes the "
+                        "solved-task configs learnable)")
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--domain-rand", action="store_true",
@@ -368,7 +374,8 @@ def main(argv=None):
         normalize_obs=args.normalize, normalize_reward=args.normalize,
         reference_compat=args.reference_compat,
         sane_collision=args.sane_collision,
-        progress_reward=args.progress_reward, log_dir=args.log_dir,
+        progress_reward=args.progress_reward,
+        collision_penalty=args.collision_penalty, log_dir=args.log_dir,
         domain_rand=args.domain_rand)
 
     print("=" * 60)
