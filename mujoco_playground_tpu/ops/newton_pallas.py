@@ -206,10 +206,44 @@ def newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups,
         return [sadd(*[smul(M[v][w], dvec[w]) for w in range(nv)])
                 for v in range(nv)]
 
-    # warm start: iterate from a0 (the previous step's solution) while the
-    # objective's smooth anchor M(a - a_s) stays at a_s
-    avec = [a_s[v] for v in range(nv)] if a0 is None else list(a0)
+    # warm start (MuJoCo mj_warmstart semantics): evaluate the primal cost
+    # at BOTH the previous solution and qacc_smooth and iterate from the
+    # cheaper (after a contact-set discontinuity the previous solution can
+    # be a worse start than cold — ADVICE r4).  The objective's smooth
+    # anchor M(a - a_s) stays at a_s either way.
     a_s_vec = [a_s[v] for v in range(nv)]
+
+    def primal_cost(vec):
+        xj, x4 = row_values(vec)
+        c = 0.0
+        for r, x in zip(jrows, xj):
+            quad = 0.5 * x * x * r["Rinv"]
+            if r["is_eq"]:
+                rc = quad
+            elif r["is_fric"]:
+                lin = (r["floss"] * jnp.abs(x)
+                       - 0.5 * r["floss"] * r["floss"] / r["Rinv"])
+                rc = jnp.where(jnp.abs(x) * r["Rinv"] < r["floss"],
+                               quad, lin)
+            else:
+                rc = jnp.where(x < 0, quad, 0.0)
+            c = sadd(c, smul(rc, r["active"]))
+        for g, x4g in zip(cgroups, x4):
+            for k in range(4):
+                xk = x4g[k]
+                c = c + jnp.sum(
+                    jnp.where(xk < 0, 0.5 * xk * xk * g["Rinv"], 0.0)
+                    * g["active"], axis=0)
+        diff = [ssub(vec[v], a_s_vec[v]) for v in range(nv)]
+        Mdiff = Mtv(diff)
+        return sadd(c, 0.5 * sadd(*[smul(diff[v], Mdiff[v])
+                                    for v in range(nv)]))
+
+    if a0 is None:
+        avec = list(a_s_vec)
+    else:
+        use_ws = primal_cost(list(a0)) < primal_cost(a_s_vec)
+        avec = [jnp.where(use_ws, a0[v], a_s_vec[v]) for v in range(nv)]
     for _it in range(iterations):
         xj, x4 = row_values(avec)
         fq_j = [joint_force(r, x) for r, x in zip(jrows, xj)]

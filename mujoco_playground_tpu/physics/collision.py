@@ -231,7 +231,20 @@ def collide(model: Model, xpos, xquat) -> Contacts:
                     "compat_flat_manifold needs hull_faces for every "
                     f"chassis geom (geom {i} has none)")
             fj = jnp.asarray(faces)                          # (F, 3)
-            support = jnp.argmin(dists)
+            # Restrict the support pick to face-covered vertices: a few
+            # baked hull verts appear in no triangle of MuJoCo's hull graph
+            # (they are vertices MuJoCo's own qhull pass dropped, sitting
+            # ~1e-8 inside/outside the face-verts' hull).  If such a vert
+            # won the depth argmin, `contains` would be all-False and the
+            # masked argmin below would silently emit face 0 — an arbitrary,
+            # possibly non-touching manifold (ADVICE r4).  MuJoCo's EPA only
+            # ever terminates on graph vertices, so masking is also the
+            # faithful semantics.
+            covered_np = np.zeros(int(dists.shape[0]), bool)
+            covered_np[np.unique(faces)] = True
+            covered = jnp.asarray(covered_np)
+            support = jnp.argmin(jnp.where(covered, dists,
+                                           jnp.asarray(jnp.inf, dtype)))
             contains = jnp.any(fj == support, axis=1)
             fsum = jnp.sum(dists[fj], axis=1)
             fsel = jnp.argmin(jnp.where(contains, fsum,

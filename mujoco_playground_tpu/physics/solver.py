@@ -150,7 +150,31 @@ def solve(model, M, qacc_smooth, efc: Efc, iterations=None,
                              0.0, 2.0)
         return a + alpha * delta, None
 
-    a0 = qacc_smooth if warmstart is None else warmstart
+    def primal_cost(a):
+        """MuJoCo's primal objective Phi(a) (module docstring)."""
+        xj, x4 = row_values(a)
+        is_eq, is_fric = masks
+        quad_j = 0.5 * xj * xj * jRinv
+        lin_j = (efc.j_floss * jnp.abs(xj)
+                 - 0.5 * efc.j_floss * efc.j_floss * efc.j_R)
+        cost_j = jnp.where(
+            is_eq, quad_j,
+            jnp.where(is_fric,
+                      jnp.where(jnp.abs(xj) * jRinv < efc.j_floss,
+                                quad_j, lin_j),
+                      jnp.where(xj < 0, quad_j, 0.0)))
+        cc = jnp.where(x4 < 0, 0.5 * x4 * x4 * cRinv[:, None], 0.0)
+        da = a - qacc_smooth
+        return (0.5 * da @ (M @ da) + jnp.sum(cost_j * efc.j_active)
+                + jnp.sum(cc * efc.c_active[:, None]))
+
+    if warmstart is None:
+        a0 = qacc_smooth
+    else:
+        # mj_warmstart: start from the cheaper of the previous solution and
+        # qacc_smooth (a stale start after an impact can be worse than cold)
+        a0 = jnp.where(primal_cost(warmstart) < primal_cost(qacc_smooth),
+                       warmstart, qacc_smooth)
     a, _ = jax.lax.scan(newton_iter, a0, None, length=iterations)
     xj, x4 = row_values(a)
     fj, _ = _joint_forces(efc, xj, masks)

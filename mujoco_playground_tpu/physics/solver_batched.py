@@ -174,7 +174,29 @@ def solve_batched(model, M, qacc_smooth, efc: Efc,
                              0.0, 2.0)
         return a + alpha[None, :] * delta, None
 
-    a0 = a_s if warmstart is None else warmstart.T
+    def primal_cost(a):
+        """Per-env primal objective Phi(a) -> (B,) (mj_warmstart compare)."""
+        xj, x4 = row_values(a)
+        quad_j = 0.5 * xj * xj * jRinv
+        lin_j = jfl * jnp.abs(xj) - 0.5 * jfl * jfl * jR
+        cost_j = jnp.where(
+            is_eq, quad_j,
+            jnp.where(is_fric,
+                      jnp.where(jnp.abs(xj) * jRinv < jfl, quad_j, lin_j),
+                      jnp.where(xj < 0, quad_j, 0.0)))
+        cc = jnp.where(x4 < 0, 0.5 * x4 * x4 * cRinv[:, None, :], 0.0)
+        da = a - a_s
+        return (0.5 * jnp.sum(da * Mtv(da), axis=0)
+                + jnp.sum(cost_j * jact, axis=0)
+                + jnp.sum(cc * cact[:, None, :], axis=(0, 1)))
+
+    if warmstart is None:
+        a0 = a_s
+    else:
+        # mj_warmstart: per-env pick of the cheaper start (previous qacc vs
+        # qacc_smooth); see solver.solve
+        ws = warmstart.T
+        a0 = jnp.where(primal_cost(ws) < primal_cost(a_s), ws, a_s)
     a, _ = jax.lax.scan(newton_iter, a0, None, length=iterations)
     xj, x4 = row_values(a)
     fj, _ = joint_forces(xj)

@@ -97,6 +97,94 @@ def test_default_manifold_unchanged_by_flag_plumbing():
     assert not m0.compat_flat_manifold and not m0.compat_wheel_patch
 
 
+def _quat_from_to(a, b):
+    """wxyz quaternion rotating unit vector a onto unit vector b."""
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    c = np.cross(a, b)
+    w = 1.0 + float(a @ b)
+    if w < 1e-12:                       # antiparallel: any perpendicular axis
+        axis = np.cross(a, [1.0, 0.0, 0.0])
+        if np.linalg.norm(axis) < 1e-9:
+            axis = np.cross(a, [0.0, 1.0, 0.0])
+        q = np.concatenate([[0.0], axis / np.linalg.norm(axis)])
+    else:
+        q = np.concatenate([[w], c])
+    return q / np.linalg.norm(q)
+
+
+def test_flat_manifold_uncovered_support_picks_covered_face():
+    """ADVICE r4 regression: some baked hull verts appear in NO face of
+    MuJoCo's hull graph, and a couple of them sit strictly outside the
+    face-verts' hull, so orientations exist where such a vert wins the
+    global depth argmin.  Pre-fix, `contains` was then all-False and the
+    all-inf argmin silently emitted face 0 (an arbitrary, possibly
+    non-touching triangle).  Post-fix the support pick is restricted to
+    face-covered verts, so the emitted face must contain the deepest
+    COVERED vertex."""
+    from mujoco_playground_tpu.physics import mathutil as mu
+    model = make_model(chassis_only_spec(), dtype=jnp.float64,
+                       solver_iterations=20, ls_iterations=12,
+                       compat_flat_manifold=True)
+    exposed_found = 0
+    for g in range(len(model.chassis_box_body)):
+        verts = np.asarray(model.chassis_hull_verts[g], float)
+        faces = np.asarray(model.chassis_hull_faces[g], np.int32)
+        covered = np.zeros(len(verts), bool)
+        covered[np.unique(faces)] = True
+        uncovered = np.where(~covered)[0]
+        assert uncovered.size > 0, \
+            "baked hulls changed: no face-less verts left; retire this test"
+        for u in uncovered:
+            # exposing direction via LP: max δ s.t. (v_u - v_j)·d >= δ,
+            # |d|_inf <= 1.  δ > 0 iff u is a strict vertex of the full
+            # cloud (margins here are ~1e-8, far below any heuristic).
+            from scipy.optimize import linprog
+            others = np.delete(np.arange(len(verts)), u)
+            A_ub = np.hstack([-(verts[u] - verts[others]),
+                              np.ones((len(others), 1))])
+            res = linprog(c=[0.0, 0.0, 0.0, -1.0], A_ub=A_ub,
+                          b_ub=np.zeros(len(others)),
+                          bounds=[(-1, 1)] * 3 + [(None, None)],
+                          method="highs")
+            if not res.success or res.x[3] <= 0:
+                continue                # u not strictly exposable
+            d = res.x[:3] / np.linalg.norm(res.x[:3])
+            if int(np.argmax(verts @ d)) != u:
+                continue
+            exposed_found += 1
+            # rotate body dir d to world -z so vert u is globally deepest
+            quat = _quat_from_to(d, [0.0, 0.0, -1.0])
+            rot = verts @ np.asarray(
+                mu.quat_to_mat(jnp.asarray(quat))).T
+            z0 = float(model.plane_z) - rot[:, 2].min() - 0.001
+            q = (model.qpos0.at[0:3].set(jnp.asarray([0.0, 0.0, z0]))
+                 .at[3:7].set(jnp.asarray(quat, model.qpos0.dtype)))
+            st = make_state(model, qpos=q)
+            cts = collision.collide(model, st.xpos, st.xquat)
+            dist = np.asarray(cts.dist)[4 * g: 4 * g + 4]
+            pos = np.asarray(cts.pos)[4 * g: 4 * g + 4]
+            b = model.chassis_box_body[g]
+            Rb = np.asarray(mu.quat_to_mat(st.xquat[b]))
+            vw = np.asarray(st.xpos[b]) + verts @ Rb.T
+            dists_w = vw[:, 2] - float(model.plane_z)
+            # sanity: the scenario is real — an uncovered vert IS deepest
+            assert int(np.argmin(dists_w)) == u
+            s_cov = int(np.argmin(np.where(covered, dists_w, np.inf)))
+            idx = []
+            for k in range(3):
+                v = pos[k] + np.array([0.0, 0.0, 0.5 * dist[k]])
+                j = int(np.argmin(np.linalg.norm(vw - v, axis=1)))
+                assert np.linalg.norm(vw[j] - v) < 1e-9
+                idx.append(j)
+            face_sets = {frozenset(f) for f in faces.tolist()}
+            assert frozenset(idx) in face_sets, (g, u, idx)
+            assert s_cov in idx, \
+                (f"geom {g} support vert {u} (uncovered): emitted face "
+                 f"{idx} misses deepest covered vert {s_cov}")
+    assert exposed_found > 0, \
+        "no uncovered vert is exposable; strengthen the direction search"
+
+
 @pytest.mark.slow
 def test_flat_manifold_flag_reproduces_oracle_rocking():
     """The flipped flat plate ROCKS under the flag (like MuJoCo) and
