@@ -46,6 +46,11 @@ class RLConfig:
     # towers cost nothing on TPU at 4096-env batches (the matmuls are still
     # tiny for the MXU) and help on the harder solved-task configs.
     hidden_sizes: Tuple[int, ...] = (64, 64)
+    # SAC/TD3 tower widths (SB3's off-policy net_arch default: 256x256,
+    # the architecture the committed off-policy checkpoints use).  The CLI
+    # --hidden overrides this only when explicitly passed with
+    # --algo sac/td3 (ADVICE r4: the flag used to be silently ignored).
+    offpolicy_hidden_sizes: Tuple[int, ...] = (256, 256)
 
     # PPO (train.py:100-107)
     learning_rate: float = 3e-4

@@ -185,6 +185,38 @@ def gae(rewards, values, final_values, terminated, done, gamma, lam):
     return advs
 
 
+def make_epoch_shuffle(key, n, mb, blk):
+    """Per-epoch minibatch shuffle: returns ``take(x)`` mapping an (n, ...)
+    slab to its (mb, n//mb, ...) minibatch-major shuffled view.
+
+    Per-ROW random gathers run at ~12 GB/s on v5e (one DMA per 316-byte
+    row) and cost 38 of the 48 ms 10-epoch update at 4096x32; shuffling
+    ``blk``-row BLOCKS moves the same bytes in large DMAs for ~1.8 ms total
+    (update: 48 -> 12 ms).  A random roll first re-cuts the block
+    boundaries each epoch so rows don't stay glued to the same blockmates.
+    ``blk=1`` (or any blk that doesn't divide both n and the minibatch
+    size) is SB3's exact per-row reshuffle (the reference recipe,
+    src/rl/train.py:99-107).  Either path emits every row exactly once —
+    a permutation of the full slab (tests/test_ppo_shuffle.py).
+    """
+    mb_size = n // mb
+    if blk > 1 and n % blk == 0 and mb_size % blk == 0:
+        k_perm, k_roll = jax.random.split(key)
+        nb = n // blk
+        perm = jax.random.permutation(k_perm, nb)
+        shift = jax.random.randint(k_roll, (), 0, n)
+
+        def take(x):
+            rolled = jnp.roll(x, shift, axis=0)
+            blocks = rolled.reshape((nb, blk) + x.shape[1:])
+            return jnp.take(blocks, perm, axis=0).reshape(
+                (mb, mb_size) + x.shape[1:])
+        return take
+    perm = jax.random.permutation(key, n)
+    return lambda x: jnp.take(x, perm[:mb * mb_size], axis=0).reshape(
+        (mb, mb_size) + x.shape[1:])
+
+
 def make_train_fns(env, network, config: RLConfig):
     """Returns (rollout_fn, update_fn) as two separate jittable programs.
 
@@ -277,33 +309,8 @@ def make_train_step(env, network, config: RLConfig) -> Callable:
         params, opt_state, flat_batch, advs, rets = carry
         n = advs.shape[0]
         mb = config.num_minibatches
-        mb_size = n // mb
         blk = max(int(getattr(config, "shuffle_block_size", 1)), 1)
-
-        # Shuffle ONCE per epoch into minibatch-major layout; the grad-step
-        # scan then reads contiguous (mb_size, ...) slices.  Per-ROW random
-        # gathers run at ~12 GB/s on v5e (one DMA per 316-byte row) and
-        # cost 38 of the 48 ms 10-epoch update at 4096x32; shuffling
-        # 128-row BLOCKS moves the same bytes in large DMAs for ~1.8 ms
-        # total (update: 48 -> 12 ms).  A random roll first re-cuts the
-        # block boundaries each epoch so rows don't stay glued to the same
-        # blockmates.  shuffle_block_size=1 keeps the SB3-exact per-row
-        # reshuffle (PARITY.md).
-        if blk > 1 and n % blk == 0 and mb_size % blk == 0:
-            k_perm, k_roll = jax.random.split(key)
-            nb = n // blk
-            perm = jax.random.permutation(k_perm, nb)
-            shift = jax.random.randint(k_roll, (), 0, n)
-
-            def take(x):
-                rolled = jnp.roll(x, shift, axis=0)
-                blocks = rolled.reshape((nb, blk) + x.shape[1:])
-                return jnp.take(blocks, perm, axis=0).reshape(
-                    (mb, mb_size) + x.shape[1:])
-        else:
-            perm = jax.random.permutation(key, n)
-            take = lambda x: jnp.take(x, perm[:mb * mb_size], axis=0).reshape(
-                (mb, mb_size) + x.shape[1:])
+        take = make_epoch_shuffle(key, n, mb, blk)
         shuffled = (jax.tree.map(take, flat_batch), take(advs), take(rets))
 
         def minibatch_step(c, data):

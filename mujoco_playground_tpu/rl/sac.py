@@ -107,8 +107,9 @@ class SACState:
 def make_sac(env, config: RLConfig, collect_steps: int = 4,
              grad_steps: int = 4):
     """Returns (init_fn, train_step_fn) for SAC on the vectorized env."""
-    actor = TanhGaussianActor(action_size=env.action_size)
-    qnet = TwinQ()
+    hidden = tuple(config.offpolicy_hidden_sizes)
+    actor = TanhGaussianActor(action_size=env.action_size, hidden=hidden)
+    qnet = TwinQ(hidden=hidden)
     a_tx = optax.adam(config.sac_learning_rate)
     q_tx = optax.adam(config.sac_learning_rate)
     al_tx = optax.adam(config.sac_learning_rate)
@@ -218,8 +219,20 @@ def make_sac(env, config: RLConfig, collect_steps: int = 4,
     return init, make_train_step
 
 
+def actor_hidden_of(params):
+    """Tower widths inferred from an actor params tree (dense_i kernels) —
+    so evaluation works for any checkpoint width, not just the config
+    default (the --hidden flag makes widths run-dependent)."""
+    p = params["params"]
+    hs = []
+    while f"dense_{len(hs)}" in p:
+        hs.append(int(p[f"dense_{len(hs)}"]["kernel"].shape[-1]))
+    return tuple(hs)
+
+
 def deterministic_policy(env, state: SACState):
-    actor = TanhGaussianActor(action_size=env.action_size)
+    actor = TanhGaussianActor(action_size=env.action_size,
+                              hidden=actor_hidden_of(state.actor_params))
 
     def policy_fn(obs):
         mean, _ = actor.apply(state.actor_params, obs)

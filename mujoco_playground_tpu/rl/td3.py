@@ -67,8 +67,9 @@ class TD3State:
 
 def make_td3(env, config: RLConfig, collect_steps: int = 4,
              grad_steps: int = 4, exploration_noise: float = 0.1):
-    actor = DeterministicActor(action_size=env.action_size)
-    qnet = TwinQ()
+    hidden = tuple(config.offpolicy_hidden_sizes)
+    actor = DeterministicActor(action_size=env.action_size, hidden=hidden)
+    qnet = TwinQ(hidden=hidden)
     a_tx = optax.adam(config.td3_learning_rate)
     q_tx = optax.adam(config.td3_learning_rate)
     B = config.num_envs
@@ -166,7 +167,9 @@ def make_td3(env, config: RLConfig, collect_steps: int = 4,
 
 
 def deterministic_policy(env, state: TD3State):
-    actor = DeterministicActor(action_size=env.action_size)
+    from mujoco_playground_tpu.rl.sac import actor_hidden_of
+    actor = DeterministicActor(action_size=env.action_size,
+                               hidden=actor_hidden_of(state.actor_params))
 
     def policy_fn(obs):
         return actor.apply(state.actor_params, obs)

@@ -236,14 +236,20 @@ def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
     # resource behind round-3's 68k/141k steps/s.  Scan `log_every`
     # iterations inside ONE jitted call so dispatch amortizes over ~100k
     # env-steps (same cadence the logger/saver already used).
-    def chunk_fn(state):
-        def body(st, _):
-            return train_step(st)
-        state, ms = jax.lax.scan(body, state, None, length=log_every)
-        ms = {k: (v.mean() if k == "mean_reward" else v[-1])
-              for k, v in ms.items()}
-        return state, ms
-    chunk_j = jax.jit(chunk_fn)
+    def make_chunk(niter):
+        def chunk_fn(state):
+            def body(st, _):
+                return train_step(st)
+            state, ms = jax.lax.scan(body, state, None, length=niter)
+            ms = {k: (v.mean() if k == "mean_reward" else v[-1])
+                  for k, v in ms.items()}
+            return state, ms
+        return jax.jit(chunk_fn)
+    # the final chunk is cut to the remaining step budget, so the loop
+    # overshoots --timesteps by at most steps_per_iter-1 (the same bound
+    # the PPO loop has; a full-log_every final chunk could overshoot by
+    # ~100k steps).  At most 2 distinct lengths compile.
+    chunks = {log_every: make_chunk(log_every)}
 
     start_gs = int(state.global_step)
     gs = start_gs
@@ -253,14 +259,18 @@ def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
         gs += steps_per_iter
     t0 = time.time()
     while gs < total_timesteps:
-        state, metrics = chunk_j(state)
+        rem = -(-(total_timesteps - gs) // steps_per_iter)
+        niter = min(log_every, rem)
+        if niter not in chunks:
+            chunks[niter] = make_chunk(niter)
+        state, metrics = chunks[niter](state)
         jax.block_until_ready(metrics["mean_reward"])
         t1 = time.time()
-        gs += steps_per_iter * log_every
+        gs += steps_per_iter * niter
         metrics = {k: float(v) for k, v in metrics.items()}
         # marginal rate over this chunk (the first chunk's rate includes
         # its one-time compile; steady state from the second line on)
-        metrics["steps_per_second"] = (steps_per_iter * log_every
+        metrics["steps_per_second"] = (steps_per_iter * niter
                                        / max(t1 - t0, 1e-9))
         t0 = t1
         logger.log(gs, metrics)
@@ -319,8 +329,11 @@ def main(argv=None):
     p.add_argument("--minibatches", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--anneal-lr", action="store_true")
-    p.add_argument("--hidden", type=int, nargs="+", default=[64, 64],
-                   help="policy/value tower widths (reference ckpt: 64 64)")
+    p.add_argument("--hidden", type=int, nargs="+", default=None,
+                   help="policy/value tower widths for the chosen algo.  "
+                        "Default when omitted: 64 64 for PPO (reference "
+                        "checkpoint arch), 256 256 for SAC/TD3 (SB3 "
+                        "off-policy net_arch default)")
     p.add_argument("--reference-compat", action="store_true",
                    help="reproduce the reference env's artifacts exactly "
                         "(stale-obs stepping + lidar name-aliasing bug)")
@@ -370,7 +383,9 @@ def main(argv=None):
         num_envs=args.num_envs, unroll_length=args.unroll,
         num_minibatches=args.minibatches, seed=args.seed,
         anneal_lr=args.anneal_lr, gamma=args.gamma, ent_coef=args.ent_coef,
-        hidden_sizes=tuple(args.hidden),
+        hidden_sizes=tuple(args.hidden) if args.hidden else (64, 64),
+        offpolicy_hidden_sizes=(tuple(args.hidden) if args.hidden
+                                else (256, 256)),
         normalize_obs=args.normalize, normalize_reward=args.normalize,
         reference_compat=args.reference_compat,
         sane_collision=args.sane_collision,
