@@ -542,7 +542,11 @@ def make_model(spec: st.ModelSpec,
         d1 = jnt_dofadr[jnt_index[e.joint1]]
         d2 = jnt_dofadr[jnt_index[e.joint2]]
         eq_pairs.append((d1, d2))
-        eq_poly.append(np.asarray(e.polycoef[:5]))
+        # always (5,): the constraint assembly indexes coef[0..4], and a
+        # short row would make jnp's clamped gather repeat the last entry
+        poly5 = np.zeros(5)
+        poly5[:min(len(e.polycoef), 5)] = np.asarray(e.polycoef[:5])
+        eq_poly.append(poly5)
         eq_solref.append(np.asarray(e.solref))
         eq_solimp.append(np.asarray(e.solimp))
 

@@ -3,18 +3,25 @@
 Inverse of :mod:`mujoco_playground_tpu.spec.mjcf`: lets users bring existing
 MJCF robots into the TPU engine without hand-writing a spec.  Supported
 subset (the reference models' feature set): nested bodies, free/hinge/slide
-joints, plane/sphere/cylinder/box geoms (meshes are skipped with a warning —
-supply explicit <inertial>), sites, <replicate> expansion, explicit
-inertials, position/velocity/motor/general actuators, jointpos/jointvel/
-rangefinder sensors, joint-coupling equalities, compiler angle modes, and
-option timestep/gravity.
+joints, plane/sphere/cylinder/box geoms, **mesh geoms with STL assets**
+(mass properties via spec.mesh reproduce MuJoCo's compiler for all four
+mesh-inertia modes; collision via the convex-hull vertex cloud the
+narrowphase consumes — so MJCF+STL robots like
+/root/reference/models/ackermann_robot_v2.xml:8-13 import end-to-end),
+sites, <replicate> expansion, explicit inertials, position/velocity/motor/
+general actuators, jointpos/jointvel/rangefinder sensors, joint-coupling
+equalities, compiler angle modes and meshdir, and option timestep/gravity.
+Mesh geoms whose asset file cannot be found are skipped with a warning
+(supply explicit <inertial>), preserving the pre-mesh behavior.
 
-Parsing is self-contained (ElementTree); when the optional `mujoco` package
-is present, tests cross-check the imported spec against MuJoCo's compiler.
+Parsing is self-contained (ElementTree + numpy + scipy qhull); when the
+optional `mujoco` package is present, tests cross-check the imported spec
+against MuJoCo's compiler.
 """
 from __future__ import annotations
 
 import math
+import os
 import warnings
 from typing import List, Optional, Tuple
 from xml.etree import ElementTree as ET
@@ -23,6 +30,14 @@ import numpy as np
 
 from mujoco_playground_tpu.spec import types as st
 from mujoco_playground_tpu.spec.types import quat_from_axis_angle, quat_mul_np
+
+
+def _qmat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
 
 
 def _floats(s, default=None):
@@ -64,13 +79,73 @@ def _quat_from_elem(elem, angle_scale: float):
     return (1.0, 0.0, 0.0, 0.0)
 
 
-def from_mjcf(xml: str, name: Optional[str] = None) -> st.ModelSpec:
-    """Parse an MJCF string into a ModelSpec (see module docstring)."""
+def _combine_inertials(parts: List[st.InertialSpec]) -> st.InertialSpec:
+    """Rigid composition of per-geom inertials into one body inertial
+    (MuJoCo's compiler does this when a body has geom masses and no
+    explicit <inertial>): total mass, mass-weighted CoM, parallel-axis
+    inertia sum, principal re-decomposition."""
+    from mujoco_playground_tpu.spec import mesh as mesh_lib
+    if len(parts) == 1:
+        return parts[0]
+    M = sum(p.mass for p in parts)
+    com = sum(np.asarray(p.pos) * p.mass for p in parts) / M
+    I = np.zeros((3, 3))
+    for p in parts:
+        R = _qmat(p.quat)
+        Ii = R @ np.diag(p.diaginertia) @ R.T
+        d = np.asarray(p.pos) - com
+        I += Ii + p.mass * ((d @ d) * np.eye(3) - np.outer(d, d))
+    diag, q = mesh_lib.principal_frame(I)
+    return st.InertialSpec(mass=M, pos=tuple(com), quat=tuple(q),
+                           diaginertia=tuple(diag))
+
+
+def from_mjcf(xml: str, name: Optional[str] = None,
+              base_dir: Optional[str] = None) -> st.ModelSpec:
+    """Parse an MJCF string into a ModelSpec (see module docstring).
+
+    ``base_dir``: directory mesh asset paths are resolved against
+    (``from_mjcf_file`` passes the XML's own directory, matching MuJoCo);
+    ``<compiler meshdir>`` composes on top.
+    """
     root = ET.fromstring(xml)
     compiler = root.find("compiler")
     angle_mode = (compiler.get("angle", "degree") if compiler is not None
                   else "degree")
     ang = math.pi / 180.0 if angle_mode == "degree" else 1.0
+    meshdir = compiler.get("meshdir") if compiler is not None else None
+
+    # <asset><mesh name file scale inertia>: resolved lazily, cached
+    mesh_assets = {}
+    for asset in root.findall("asset"):
+        for mel in asset.findall("mesh"):
+            fname = mel.get("file", "")
+            mname = mel.get("name") or os.path.splitext(
+                os.path.basename(fname))[0]
+            mesh_assets[mname] = dict(
+                file=fname,
+                scale=_floats(mel.get("scale"), (1.0, 1.0, 1.0)),
+                inertia=mel.get("inertia", "legacy"))
+
+    def resolve_mesh_path(fname):
+        if os.path.isabs(fname):
+            return fname if os.path.exists(fname) else None
+        roots = []
+        if meshdir is not None:
+            if os.path.isabs(meshdir):
+                roots.append(meshdir)
+            elif base_dir is not None:
+                roots.append(os.path.join(base_dir, meshdir))
+            else:
+                roots.append(meshdir)
+        if base_dir is not None:
+            roots.append(base_dir)
+        roots.append(os.getcwd())
+        for r in roots:
+            p = os.path.normpath(os.path.join(r, fname))
+            if os.path.exists(p):
+                return p
+        return None
 
     option = st.OptionSpec()
     opt_elem = root.find("option")
@@ -91,14 +166,76 @@ def from_mjcf(xml: str, name: Optional[str] = None) -> st.ModelSpec:
         if g is not None:
             default_geom = dict(g.attrib)
 
+    def parse_mesh_geom(g, attrs):
+        """Mesh geom -> (box-proxy GeomSpec with hull cloud, InertialSpec),
+        both in the parent BODY frame — the exact structure the hand-spec
+        bakes for the reference chassis (spec/robot.py _mesh_proxy_geom).
+        Returns (None, None) when the asset cannot be resolved."""
+        from mujoco_playground_tpu.spec import mesh as mesh_lib
+        asset = mesh_assets.get(attrs.get("mesh", ""))
+        path = resolve_mesh_path(asset["file"]) if asset else None
+        if path is None:
+            warnings.warn(
+                "mesh geom skipped on import (asset file not found); "
+                "provide an explicit <inertial> and primitive collision "
+                "proxies (see spec/robot.py)")
+            return None, None
+        tris = mesh_lib.load_stl(path)
+        scale = np.asarray(asset["scale"], np.float64)
+        if np.any(scale != 1.0):
+            tris = tris * scale
+            if np.prod(np.sign(scale)) < 0:
+                tris = tris[:, ::-1]       # mirror flips orientation
+        mass = attrs.get("mass")
+        m, com, I = mesh_lib.mesh_mass_properties(
+            tris, mass=float(mass) if mass is not None else None,
+            density=float(attrs.get("density", 1000.0)),
+            mode=asset["inertia"])
+        diag, q_p = mesh_lib.principal_frame(I)
+        gpos = np.asarray(_floats(attrs.get("pos"), (0.0, 0.0, 0.0)))
+        gquat = _quat_from_elem(g, ang)
+        Rg = _qmat(gquat)
+        ipos = tuple(gpos + Rg @ com)
+        iquat = tuple(quat_mul_np(gquat, tuple(q_p)))
+        inertial = st.InertialSpec(mass=m, pos=ipos, quat=iquat,
+                                   diaginertia=tuple(diag))
+        # convex hull: body-frame cloud for the narrowphase + faces for the
+        # compat manifold (qhull triangulation — MuJoCo's own mesh graph
+        # may order faces differently; vertex sets agree)
+        hull_mesh, faces = mesh_lib.convex_hull(tris.reshape(-1, 3))
+        hull_body = gpos[None, :] + hull_mesh @ Rg.T
+        # proxy box = mesh AABB in the inertial (principal) frame
+        Rp = _qmat(tuple(q_p))
+        v_in = (hull_mesh - com) @ Rp
+        center = (v_in.min(0) + v_in.max(0)) / 2.0
+        half = (v_in.max(0) - v_in.min(0)) / 2.0
+        Ri = _qmat(iquat)
+        proxy_pos = tuple(np.asarray(ipos) + Ri @ center)
+        geom = st.GeomSpec(
+            name=attrs.get("name", ""), type="box", size=tuple(half),
+            pos=proxy_pos, quat=iquat, mass=None,
+            friction=_floats(attrs.get("friction"), (1.0, 0.005, 0.0001)),
+            contype=int(attrs.get("contype", 1)),
+            conaffinity=int(attrs.get("conaffinity", 1)),
+            condim=int(attrs.get("condim", 3)),
+            solref=_floats(attrs.get("solref"), (0.02, 1.0)),
+            solimp=_floats(attrs.get("solimp"),
+                           (0.9, 0.95, 0.001, 0.5, 2.0)),
+            rgba=_floats(attrs.get("rgba"), (0.5, 0.5, 0.5, 1.0)),
+            group=int(attrs.get("group", 0)),
+            hull=tuple(map(tuple, hull_body)),
+            hull_faces=tuple(map(tuple, faces.tolist())))
+        return geom, inertial
+
     def parse_geom(g) -> Optional[st.GeomSpec]:
+        gs, _ = parse_geom_inertial(g)
+        return gs
+
+    def parse_geom_inertial(g):
         attrs = {**default_geom, **g.attrib}
         gtype = attrs.get("type", "sphere")
         if gtype == "mesh":
-            warnings.warn(
-                "mesh geom skipped on import; provide an explicit <inertial> "
-                "and primitive collision proxies (see spec/robot.py)")
-            return None
+            return parse_mesh_geom(g, attrs)
         mass = attrs.get("mass")
         return st.GeomSpec(
             name=attrs.get("name", ""), type=gtype,
@@ -114,7 +251,7 @@ def from_mjcf(xml: str, name: Optional[str] = None) -> st.ModelSpec:
             solimp=_floats(attrs.get("solimp"),
                            (0.9, 0.95, 0.001, 0.5, 2.0)),
             rgba=_floats(attrs.get("rgba"), (0.5, 0.5, 0.5, 1.0)),
-            group=int(attrs.get("group", 0)))
+            group=int(attrs.get("group", 0))), None
 
     def parse_joint(j) -> st.JointSpec:
         jtype = j.get("type", "hinge")
@@ -187,6 +324,7 @@ def from_mjcf(xml: str, name: Optional[str] = None) -> st.ModelSpec:
                 pos=_floats(inertial.get("pos"), (0.0, 0.0, 0.0)),
                 quat=_quat_from_elem(inertial, ang),
                 diaginertia=diag)
+        mesh_inertials = []
         for child in list(elem):
             tag = child.tag
             if tag in ("joint",):
@@ -195,9 +333,11 @@ def from_mjcf(xml: str, name: Optional[str] = None) -> st.ModelSpec:
                 body.joints.append(st.JointSpec(
                     name=child.get("name", f"{bname}_free"), type="free"))
             elif tag == "geom":
-                g = parse_geom(child)
+                g, gin = parse_geom_inertial(child)
                 if g is not None:
                     body.geoms.append(g)
+                if gin is not None:
+                    mesh_inertials.append(gin)
             elif tag == "site":
                 body.sites.append(st.SiteSpec(
                     name=child.get("name", ""),
@@ -213,6 +353,8 @@ def from_mjcf(xml: str, name: Optional[str] = None) -> st.ModelSpec:
                             quat=_quat_from_elem(c, 1.0),
                             size=(_floats(c.get("size"), (0.003,))
                                   or (0.003,))[0]))
+        if body.inertial is None and mesh_inertials:
+            body.inertial = _combine_inertials(mesh_inertials)
         spec.bodies.append(body)
         for child in elem.findall("body"):
             walk_body(child, bname)
@@ -284,11 +426,15 @@ def from_mjcf(xml: str, name: Optional[str] = None) -> st.ModelSpec:
     eq_root = root.find("equality")
     if eq_root is not None:
         for e in eq_root.findall("joint"):
+            # pad to the 5 coefficients the constraint assembly indexes
+            # (MJCF allows fewer; a short tuple would make jnp's clamped
+            # OOB gather silently repeat the last coefficient)
+            poly = _floats(e.get("polycoef"), (0.0, 1.0, 0.0, 0.0, 0.0))
+            poly = tuple(poly) + (0.0,) * (5 - len(poly))
             spec.equalities.append(st.EqualitySpec(
                 name=e.get("name", ""), joint1=e.get("joint1", ""),
                 joint2=e.get("joint2", ""),
-                polycoef=_floats(e.get("polycoef"),
-                                 (0.0, 1.0, 0.0, 0.0, 0.0)),
+                polycoef=poly[:5],
                 solref=_floats(e.get("solref"), (0.02, 1.0)),
                 solimp=_floats(e.get("solimp"),
                                (0.9, 0.95, 0.001, 0.5, 2.0))))
@@ -297,4 +443,5 @@ def from_mjcf(xml: str, name: Optional[str] = None) -> st.ModelSpec:
 
 def from_mjcf_file(path: str, name: Optional[str] = None) -> st.ModelSpec:
     with open(path) as f:
-        return from_mjcf(f.read(), name=name)
+        return from_mjcf(f.read(), name=name,
+                         base_dir=os.path.dirname(os.path.abspath(path)))
