@@ -114,7 +114,7 @@ def _cholesky_solve_lanes(H, g, n, order=None):
 
 
 def newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups,
-                order=None, a0=None):
+                order=None, a0=None, ws_compare=True):
     """The Newton loop on structure-grouped lanes (reused by the fused step
     kernel and the standalone Newton kernel).
 
@@ -213,7 +213,11 @@ def newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups,
     # anchor M(a - a_s) stays at a_s either way.
     a_s_vec = [a_s[v] for v in range(nv)]
 
-    def primal_cost(vec):
+    def primal_cost(vec, with_m_term):
+        """(Phi(vec), xj, x4); with_m_term=False skips the smooth quadratic
+        (exactly zero when vec == a_s — saves an nv^2 Mtv on the cold-side
+        eval).  Row values are returned so the selected start's can seed
+        the first Newton iteration without recomputation."""
         xj, x4 = row_values(vec)
         c = 0.0
         for r, x in zip(jrows, xj):
@@ -234,18 +238,40 @@ def newton_body(nv, iterations, ls_iterations, M, a_s, jrows, cgroups,
                 c = c + jnp.sum(
                     jnp.where(xk < 0, 0.5 * xk * xk * g["Rinv"], 0.0)
                     * g["active"], axis=0)
-        diff = [ssub(vec[v], a_s_vec[v]) for v in range(nv)]
-        Mdiff = Mtv(diff)
-        return sadd(c, 0.5 * sadd(*[smul(diff[v], Mdiff[v])
-                                    for v in range(nv)]))
+        if with_m_term:
+            diff = [ssub(vec[v], a_s_vec[v]) for v in range(nv)]
+            Mdiff = Mtv(diff)
+            c = sadd(c, 0.5 * sadd(*[smul(diff[v], Mdiff[v])
+                                     for v in range(nv)]))
+        return c, xj, x4
 
     if a0 is None:
         avec = list(a_s_vec)
+        pre_rows = None
+    elif not ws_compare:
+        # unconditional warm start (the megakernel hot path): skipping the
+        # two-sided cost evaluation saves one full row_values pass per
+        # solve (~10% of the fused step at 4096 envs, measured r5); the
+        # mj-exact compare stays on by default for the standalone kernel
+        # and the staged solver paths (PARITY.md "warm start").
+        avec = list(a0)
+        pre_rows = None
     else:
-        use_ws = primal_cost(list(a0)) < primal_cost(a_s_vec)
+        c_ws, xj_ws, x4_ws = primal_cost(list(a0), True)
+        c_sm, xj_sm, x4_sm = primal_cost(a_s_vec, False)
+        use_ws = c_ws < c_sm
         avec = [jnp.where(use_ws, a0[v], a_s_vec[v]) for v in range(nv)]
+        # seed iteration 1 with the selected start's row values (already
+        # computed for the cost compare — saves a full row_values pass)
+        pre_rows = (
+            [jnp.where(use_ws, a, b) for a, b in zip(xj_ws, xj_sm)],
+            [[jnp.where(use_ws, a[k], b[k]) for k in range(4)]
+             for a, b in zip(x4_ws, x4_sm)])
     for _it in range(iterations):
-        xj, x4 = row_values(avec)
+        if _it == 0 and pre_rows is not None:
+            xj, x4 = pre_rows
+        else:
+            xj, x4 = row_values(avec)
         fq_j = [joint_force(r, x) for r, x in zip(jrows, xj)]
         fj = [f for f, _ in fq_j]
         fq_c = [contact_forces4(g, x) for g, x in zip(cgroups, x4)]

@@ -1041,11 +1041,13 @@ def _step_kernel(sm: _StaticModel, iterations, ls_iterations, block_b,
             active=stk([c["active"] for c in rows])))
     a_s = [_lane(a, B, dtype) for a in qacc_smooth]
     # warm start: Newton iterates from the previous step's qacc (HBM lane
-    # input, MuJoCo's qacc_warmstart semantics); the objective's smooth
-    # anchor stays a_s
+    # input); ws_compare=False skips MuJoCo's two-sided mj_warmstart cost
+    # pick on this hot path — the extra row_values pass costs ~10% of the
+    # fused step and the pick only differs after contact-set
+    # discontinuities (PARITY.md "warm start"; staged paths keep it)
     a0 = [ws_ref[v] for v in range(nv)]
     qacc = newton_body(nv, iterations, ls_iterations, M, a_s, njrows,
-                       cgroups, order=order, a0=a0)
+                       cgroups, order=order, a0=a0, ws_compare=False)
     qacc_out[...] = jnp.stack([_lane(q, B, dtype) for q in qacc])
 
     # ---- implicit-damping Euler: (M + h D) v' = M (v + h a) + h D v ------
