@@ -89,6 +89,12 @@ class EnvConfig:
     # production speed.
     reference_flat_manifold: bool = False
     reference_wheel_patch: bool = False
+    # Geodesic (maze-aware) potential-based shaping: reward +=
+    # scale * (phi_prev - phi_new) with phi = Dijkstra distance-to-goal
+    # through the maze corridors (envs/geodesic.py).  Unlike the Euclidean
+    # progress potential it has no off-goal local optimum behind walls —
+    # the shaping knob the solved-task configs use.  0 = off (faithful).
+    geodesic_reward_scale: float = 0.0
     # Reward weights.  collision_penalty is the reference's -50-per-step
     # wall-proximity term (ackermann_env.py:287-301).  It is the term that
     # caps goal-seeking on the solved-task configs (grazing a wall for 50
@@ -140,6 +146,9 @@ class EnvState:
     # distance (seeded with the initial distance at reset; NOT overwritten
     # by the auto-reset outcome merge, unlike ``goal_distance``)
     prev_goal_distance: Any
+    # index of the goal's free cell (int32; 0 on the open floor) — selects
+    # the geodesic potential field when geodesic_reward_scale != 0
+    goal_cell: Any
 
 
 class AckermannEnv:
@@ -190,6 +199,15 @@ class AckermannEnv:
             qpos = self.model.qpos0.at[2].set(jnp.asarray(0.1, dtype))
             self._template = jax.device_get(make_state(self.model, qpos=qpos))
             self._free_cells = None
+
+        if config.geodesic_reward_scale and self.arena == "maze":
+            from mujoco_playground_tpu.envs import geodesic
+            fields, origin = geodesic.build_fields(scene)
+            self._geo_fields = jnp.asarray(fields)
+            self._geo_origin = jnp.asarray(origin)
+            self._geo_res = 0.05
+        else:
+            self._geo_fields = None
 
         # Template chassis heading as a host-side Python float (pure numpy —
         # NOT quat_to_yaw, whose jnp ops would stage as traced values inside
@@ -248,6 +266,7 @@ class AckermannEnv:
             dist = jax.random.uniform(k_goal, (), dtype, lo, hi)
             ang = jax.random.uniform(k_start, (), dtype, 0.0, 2 * jnp.pi)
             goal = jnp.stack([dist * jnp.cos(ang), dist * jnp.sin(ang)])
+            gi = jnp.zeros((), jnp.int32)
 
         zero = jnp.zeros((), dtype)
         false = jnp.zeros((), bool)
@@ -257,9 +276,31 @@ class AckermannEnv:
             steps=jnp.zeros((), jnp.int32), obs=obs0, final_obs=obs0,
             reward=zero, terminated=false, truncated=false, done=false,
             goal_distance=zero, collision=false, min_lidar=zero,
-            prev_goal_distance=jnp.linalg.norm(goal).astype(dtype))
+            prev_goal_distance=jnp.linalg.norm(goal).astype(dtype),
+            goal_cell=jnp.asarray(gi, jnp.int32))
 
     # ------------------------------------------------------------------- step
+    def _geo_delta(self, prev_phys: State, new_phys: State, goal_cell):
+        """Geodesic progress shaping term (0.0 when the knob is off).
+
+        Both potentials are evaluated inside the step from the pre/post
+        world chassis xy — no carried state, so the term telescopes exactly
+        within an episode and auto-reset needs no special casing (the done
+        step still shapes against its own episode's goal_cell).  Works for
+        single (2,) and batched (B, 2) positions alike.
+        """
+        if self._geo_fields is None:
+            return 0.0
+        from mujoco_playground_tpu.envs import geodesic
+        prev_xy = prev_phys.xpos[..., 1, :2]
+        new_xy = new_phys.xpos[..., 1, :2]
+        phi_p = geodesic.sample(self._geo_fields, self._geo_origin,
+                                self._geo_res, goal_cell, prev_xy)
+        phi_n = geodesic.sample(self._geo_fields, self._geo_origin,
+                                self._geo_res, goal_cell, new_xy)
+        return (self.config.geodesic_reward_scale
+                * (phi_p - phi_n)).astype(self.dtype)
+
     def step(self, state: EnvState, action, model=None) -> EnvState:
         cfg = self.config
         model = self.model if model is None else model
@@ -280,6 +321,8 @@ class AckermannEnv:
         terminated = goal_distance < cfg.goal_distance_threshold
         reward = reward_terms(cfg, goal_distance, collision, terminated,
                               state.prev_goal_distance).astype(self.dtype)
+        reward = reward + self._geo_delta(state.physics, physics,
+                                          state.goal_cell)
         steps = state.steps + 1
         truncated = (steps >= cfg.max_episode_steps) & ~terminated
         return state.replace(
@@ -367,7 +410,9 @@ class AckermannEnv:
             # reward/termination metrics (see step_pallas.build_step_fn)
             ns = self.model.nsite
             obs = env_slab[:, :ns + 7]
-            reward = env_slab[:, ns + 7].astype(self.dtype)
+            reward = (env_slab[:, ns + 7].astype(self.dtype)
+                      + self._geo_delta(states.physics, physics,
+                                        states.goal_cell))
             goal_distance = env_slab[:, ns + 8]
             min_lidar = env_slab[:, ns + 9]
             collision = env_slab[:, ns + 10] > 0.5
@@ -400,6 +445,8 @@ class AckermannEnv:
         terminated = goal_distance < cfg.goal_distance_threshold
         reward = reward_terms(cfg, goal_distance, collision, terminated,
                               states.prev_goal_distance).astype(self.dtype)
+        reward = reward + self._geo_delta(states.physics, physics,
+                                          states.goal_cell)
         steps = states.steps + 1
         truncated = (steps >= cfg.max_episode_steps) & ~terminated
         new = states.replace(

@@ -28,6 +28,11 @@ class RLConfig:
     # potential-based progress shaping weight (0 = the faithful reference
     # reward; see EnvConfig.progress_reward_scale)
     progress_reward: float = 0.0
+    # geodesic (maze-aware) potential shaping weight: like progress_reward
+    # but the potential is Dijkstra distance through the maze corridors,
+    # which has no off-goal local optimum behind walls (envs/geodesic.py).
+    # The solved-task configs use this instead of progress_reward.
+    geodesic_reward: float = 0.0
     # per-env randomized physics (mass/friction/damping/actuators/floor);
     # wraps the env in DomainRandomizedEnv -> the DR megakernel path
     domain_rand: bool = False

@@ -55,6 +55,7 @@ def _build_base_env(config: RLConfig):
         reference_lidar_aliasing=config.reference_compat,
         collision_ignores_nohit=config.sane_collision,
         progress_reward_scale=config.progress_reward,
+        geodesic_reward_scale=config.geodesic_reward,
         collision_penalty=config.collision_penalty,
         solver_iterations=config.solver_iterations,
         ls_iterations=config.ls_iterations)
@@ -349,6 +350,13 @@ def main(argv=None):
                         "SCALE*(d_prev - d_new) toward the goal (0 = the "
                         "faithful reference reward; preserves the optimal "
                         "policy, Ng et al. 1999)")
+    p.add_argument("--geodesic-reward", type=float, default=0.0,
+                   metavar="SCALE",
+                   help="maze-aware potential shaping: like "
+                        "--progress-reward but the potential is geodesic "
+                        "distance through the corridors (no local optimum "
+                        "behind walls; envs/geodesic.py) — the shaping the "
+                        "solved-task configs use")
     p.add_argument("--collision-penalty", type=float, default=-50.0,
                    help="per-step reward when min lidar < 0.15 m (reference: "
                         "-50, which outweighs the +100 goal bonus after ~2 "
@@ -390,6 +398,7 @@ def main(argv=None):
         reference_compat=args.reference_compat,
         sane_collision=args.sane_collision,
         progress_reward=args.progress_reward,
+        geodesic_reward=args.geodesic_reward,
         collision_penalty=args.collision_penalty, log_dir=args.log_dir,
         domain_rand=args.domain_rand)
 

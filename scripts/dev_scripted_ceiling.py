@@ -70,12 +70,16 @@ def main():
     p.add_argument("--max-angular", type=float, default=1.0)
     p.add_argument("--episodes", type=int, default=512)
     p.add_argument("--maze", default="PointMaze_UMaze-v3")
+    p.add_argument("--max-episode-steps", type=int, default=1000,
+                   help="episode budget (500 Hz steps; 1000 = the "
+                        "reference's 2 s)")
     args = p.parse_args()
 
     env = make_ackermann_env(
         env_type="maze", maze_id=args.maze,
         max_linear_velocity=args.max_velocity,
         max_angular_velocity=args.max_angular,
+        max_episode_steps=args.max_episode_steps,
         collision_ignores_nohit=True)
     stats = evaluate_agent(env, scripted_policy(env),
                            num_episodes=args.episodes,
