@@ -44,7 +44,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from mujoco_playground_tpu.envs import make_ackermann_env
 
 BASELINE_STEPS_PER_S = 500.0  # reference: 1 env, real-time CPU loop
+# --envs overrides (env-count scaling sweeps, BENCHMARKS.md); the driver
+# contract stays the bare-invocation default of 4096.
 B = 4096
+if "--envs" in sys.argv:
+    B = int(sys.argv[sys.argv.index("--envs") + 1])
 # T=500 puts the timed window at ~0.5 s (one scan dispatch) so per-dispatch
 # overhead and clock granularity are <1% of the measurement (round-3 verdict
 # weak #1: T=50 gave a ~45 ms window with visible noise).
@@ -76,7 +80,7 @@ def main():
 
     steps_per_s = T * B / dt
     print(json.dumps({
-        "metric": "env-steps/s per chip (4096 lockstep Ackermann envs, "
+        "metric": f"env-steps/s per chip ({B} lockstep Ackermann envs, "
                   "umaze, random policy)",
         "value": round(steps_per_s),
         "unit": "env-steps/s",

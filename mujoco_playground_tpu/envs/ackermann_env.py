@@ -95,6 +95,14 @@ class EnvConfig:
     # progress potential it has no off-goal local optimum behind walls —
     # the shaping knob the solved-task configs use.  0 = off (faithful).
     geodesic_reward_scale: float = 0.0
+    # Goal-compass observation: append 2 obs dims — the unit descent
+    # direction of the geodesic potential (i.e. "which way along the
+    # corridors") rotated into the robot frame.  The split every deployed
+    # nav stack uses: a global planner (here: the precomputed geodesic
+    # field) feeds a learned local policy.  Off = the reference's 79-d
+    # observation exactly.  On the open floor (no field) it degrades to
+    # the straight-line goal direction.
+    goal_compass: bool = False
     # Reward weights.  collision_penalty is the reference's -50-per-step
     # wall-proximity term (ackermann_env.py:287-301).  It is the term that
     # caps goal-seeking on the solved-task configs (grazing a wall for 50
@@ -200,7 +208,8 @@ class AckermannEnv:
             self._template = jax.device_get(make_state(self.model, qpos=qpos))
             self._free_cells = None
 
-        if config.geodesic_reward_scale and self.arena == "maze":
+        if ((config.geodesic_reward_scale or config.goal_compass)
+                and self.arena == "maze"):
             from mujoco_playground_tpu.envs import geodesic
             fields, origin = geodesic.build_fields(scene)
             self._geo_fields = jnp.asarray(fields)
@@ -208,6 +217,7 @@ class AckermannEnv:
             self._geo_res = 0.05
         else:
             self._geo_fields = None
+        self.obs_size = OBS_SIZE + (2 if config.goal_compass else 0)
 
         # Template chassis heading as a host-side Python float (pure numpy —
         # NOT quat_to_yaw, whose jnp ops would stage as traced values inside
@@ -221,7 +231,7 @@ class AckermannEnv:
     def reset(self, rng) -> EnvState:
         state = self.reset_core(rng)
         obs, metrics = self._observe(state.physics, state.odom_ref,
-                                     state.goal)
+                                     state.goal, goal_cell=state.goal_cell)
         return state.replace(
             obs=obs, final_obs=obs,
             goal_distance=metrics["goal_distance"],
@@ -270,7 +280,7 @@ class AckermannEnv:
 
         zero = jnp.zeros((), dtype)
         false = jnp.zeros((), bool)
-        obs0 = jnp.zeros((OBS_SIZE,), dtype)
+        obs0 = jnp.zeros((self.obs_size,), dtype)
         return EnvState(
             physics=physics, odom_ref=ref, goal=goal, rng=rng,
             steps=jnp.zeros((), jnp.int32), obs=obs0, final_obs=obs0,
@@ -278,6 +288,38 @@ class AckermannEnv:
             goal_distance=zero, collision=false, min_lidar=zero,
             prev_goal_distance=jnp.linalg.norm(goal).astype(dtype),
             goal_cell=jnp.asarray(gi, jnp.int32))
+
+    # ---------------------------------------------------------------- compass
+    def _compass(self, xy, heading, goal_cell, goal_vec):
+        """(cos, sin) of the geodesic descent direction in the robot frame.
+
+        Central differences of the potential field give the corridor
+        direction toward the goal; where the gradient vanishes (at the
+        goal-cell center, or on the open floor with no field) it falls
+        back to the straight-line goal direction.  Batched or single.
+        """
+        if self._geo_fields is None:
+            d = goal_vec
+        else:
+            from mujoco_playground_tpu.envs import geodesic
+            h = 1.5 * self._geo_res
+            dx = jnp.stack([jnp.full(xy.shape[:-1], h, xy.dtype),
+                            jnp.zeros(xy.shape[:-1], xy.dtype)], axis=-1)
+            dy = dx[..., ::-1]
+
+            def phi(p):
+                return geodesic.sample(self._geo_fields, self._geo_origin,
+                                       self._geo_res, goal_cell, p)
+
+            g = jnp.stack([phi(xy + dx) - phi(xy - dx),
+                           phi(xy + dy) - phi(xy - dy)], axis=-1)
+            d = jnp.where(jnp.linalg.norm(g, axis=-1, keepdims=True) > 1e-4,
+                          -g, goal_vec)
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+        c, s = jnp.cos(heading), jnp.sin(heading)
+        return jnp.stack([c * d[..., 0] + s * d[..., 1],
+                          -s * d[..., 0] + c * d[..., 1]],
+                         axis=-1).astype(self.dtype)
 
     # ------------------------------------------------------------------- step
     def _geo_delta(self, prev_phys: State, new_phys: State, goal_cell):
@@ -289,7 +331,7 @@ class AckermannEnv:
         step still shapes against its own episode's goal_cell).  Works for
         single (2,) and batched (B, 2) positions alike.
         """
-        if self._geo_fields is None:
+        if self._geo_fields is None or not self.config.geodesic_reward_scale:
             return 0.0
         from mujoco_playground_tpu.envs import geodesic
         prev_xy = prev_phys.xpos[..., 1, :2]
@@ -314,7 +356,7 @@ class AckermannEnv:
 
         obs_src = state.physics if cfg.reference_delayed_obs else physics
         obs, metrics = self._observe(obs_src, state.odom_ref, state.goal,
-                                     model=model)
+                                     model=model, goal_cell=state.goal_cell)
         goal_distance = metrics["goal_distance"]
         collision = metrics["collision"]
 
@@ -410,6 +452,17 @@ class AckermannEnv:
             # reward/termination metrics (see step_pallas.build_step_fn)
             ns = self.model.nsite
             obs = env_slab[:, :ns + 7]
+            if cfg.goal_compass:
+                # compass rides outside the kernel, like the shaping: the
+                # slab's heading/goal cols are post-step, so recompute from
+                # the post-step frames the kernel already returned
+                heading = env_slab[:, ns + 2]
+                robot_xy = physics.xpos[:, 1, :2]
+                goal_vec = states.goal - (robot_xy
+                                          - states.odom_ref.position[:, :2])
+                obs = jnp.concatenate([
+                    obs, self._compass(robot_xy, heading, states.goal_cell,
+                                       goal_vec)], axis=-1)
             reward = (env_slab[:, ns + 7].astype(self.dtype)
                       + self._geo_delta(states.physics, physics,
                                         states.goal_cell))
@@ -430,16 +483,18 @@ class AckermannEnv:
         obs_src = states.physics if cfg.reference_delayed_obs else physics
         if base_model is None:
             obs, metrics = self._observe_batch(obs_src, states.odom_ref,
-                                               states.goal)
+                                               states.goal, states.goal_cell)
         else:
             bdict = engine.batched_field_dict(model, base_model)
 
-            def obs_dr(p, ref, goal, leaves):
+            def obs_dr(p, ref, goal, cell, leaves):
                 return self._observe(p, ref, goal,
-                                     model=base_model.replace(**leaves))
+                                     model=base_model.replace(**leaves),
+                                     goal_cell=cell)
 
-            obs, metrics = jax.vmap(obs_dr, in_axes=(0, 0, 0, 0))(
-                obs_src, states.odom_ref, states.goal, bdict)
+            obs, metrics = jax.vmap(obs_dr, in_axes=(0, 0, 0, 0, 0))(
+                obs_src, states.odom_ref, states.goal, states.goal_cell,
+                bdict)
         goal_distance = metrics["goal_distance"]
         collision = metrics["collision"]
         terminated = goal_distance < cfg.goal_distance_threshold
@@ -508,27 +563,36 @@ class AckermannEnv:
                 ang = jnp.arctan2(g[:, 1], g[:, 0]) - heading0
                 ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
                 B = g.shape[0]
-                fresh_obs = jnp.concatenate([
+                cols = [
                     fresh_lidar,
                     jnp.zeros((B, 2), self.dtype),
                     jnp.full((B, 1), heading0, self.dtype),
-                    g, gd0[:, None], ang[:, None]], axis=-1)
+                    g, gd0[:, None], ang[:, None]]
+                if self.config.goal_compass:
+                    cols.append(self._compass(
+                        fresh.physics.xpos[:, 1, :2],
+                        jnp.full((B,), heading0, self.dtype),
+                        fresh.goal_cell, g))
+                fresh_obs = jnp.concatenate(cols, axis=-1)
                 obs = jnp.where(done[:, None], fresh_obs, st.obs)
             elif base_model is None:
                 obs, _ = self._observe_batch(merged.physics,
-                                             merged.odom_ref, merged.goal)
+                                             merged.odom_ref, merged.goal,
+                                             merged.goal_cell)
             else:
                 # staged DR fallback: observe with each env's own model so
                 # the randomized plane_z reaches the raycast, matching the
                 # fused path exactly
                 bdict = engine.batched_field_dict(models, base_model)
 
-                def obs_dr(p, ref, goal, leaves):
+                def obs_dr(p, ref, goal, cell, leaves):
                     return self._observe(p, ref, goal,
-                                         model=base_model.replace(**leaves))
+                                         model=base_model.replace(**leaves),
+                                         goal_cell=cell)
 
-                obs, _ = jax.vmap(obs_dr, in_axes=(0, 0, 0, 0))(
-                    merged.physics, merged.odom_ref, merged.goal, bdict)
+                obs, _ = jax.vmap(obs_dr, in_axes=(0, 0, 0, 0, 0))(
+                    merged.physics, merged.odom_ref, merged.goal,
+                    merged.goal_cell, bdict)
             merged = merged.replace(obs=obs)
         return merged.replace(
             reward=st.reward, terminated=st.terminated, truncated=st.truncated,
@@ -559,7 +623,8 @@ class AckermannEnv:
                 (float(t.qpos[0]), float(t.qpos[1])))
         return self._fresh_statics_cache
 
-    def _observe_batch(self, physics: State, ref: OdometryRef, goal):
+    def _observe_batch(self, physics: State, ref: OdometryRef, goal,
+                       goal_cell=None):
         """Batched observation (leaves carry a leading env axis).
 
         Semantics == vmap(self._observe) on the static model; the lidar
@@ -591,12 +656,16 @@ class AckermannEnv:
         goal_distance = jnp.linalg.norm(goal_vec, axis=-1)
         goal_angle = jnp.arctan2(goal_vec[:, 1], goal_vec[:, 0]) - heading
         goal_angle = jnp.arctan2(jnp.sin(goal_angle), jnp.cos(goal_angle))
-        obs = jnp.concatenate([
+        cols = [
             lidar,
             jnp.stack([pos_diff[:, 0], pos_diff[:, 1], heading], axis=-1),
             jnp.stack([goal_vec[:, 0], goal_vec[:, 1], goal_distance,
                        goal_angle], axis=-1),
-        ], axis=-1).astype(self.dtype)
+        ]
+        if cfg.goal_compass:
+            cols.append(self._compass(physics.xpos[:, 1, :2], heading,
+                                      goal_cell, goal_vec))
+        obs = jnp.concatenate(cols, axis=-1).astype(self.dtype)
         if cfg.collision_ignores_nohit:
             min_lidar = jnp.min(jnp.where(lidar < 0, jnp.inf, lidar),
                                 axis=-1)
@@ -606,7 +675,8 @@ class AckermannEnv:
         return obs, dict(goal_distance=goal_distance, collision=collision,
                          min_lidar=min_lidar)
 
-    def _observe(self, physics: State, ref: OdometryRef, goal, model=None):
+    def _observe(self, physics: State, ref: OdometryRef, goal, model=None,
+                 goal_cell=None):
         cfg = self.config
         model = self.model if model is None else model
         lidar = sensors.lidar_scan(model, physics)
@@ -621,10 +691,14 @@ class AckermannEnv:
         goal_distance = jnp.linalg.norm(goal_vec)
         goal_angle = jnp.arctan2(goal_vec[1], goal_vec[0]) - heading
         goal_angle = jnp.arctan2(jnp.sin(goal_angle), jnp.cos(goal_angle))
-        obs = jnp.concatenate([
+        cols = [
             lidar, jnp.stack([pos_diff[0], pos_diff[1], heading]),
             jnp.stack([goal_vec[0], goal_vec[1], goal_distance, goal_angle]),
-        ]).astype(self.dtype)
+        ]
+        if cfg.goal_compass:
+            cols.append(self._compass(physics.xpos[1, :2], heading,
+                                      goal_cell, goal_vec))
+        obs = jnp.concatenate(cols).astype(self.dtype)
         if cfg.collision_ignores_nohit:
             min_lidar = jnp.min(jnp.where(lidar < 0, jnp.inf, lidar))
         else:

@@ -33,6 +33,10 @@ class RLConfig:
     # which has no off-goal local optimum behind walls (envs/geodesic.py).
     # The solved-task configs use this instead of progress_reward.
     geodesic_reward: float = 0.0
+    # append the geodesic-descent direction (robot frame, 2 dims) to the
+    # observation — the global-planner/local-policy split
+    # (EnvConfig.goal_compass); obs grows 79 -> 81
+    goal_compass: bool = False
     # per-env randomized physics (mass/friction/damping/actuators/floor);
     # wraps the env in DomainRandomizedEnv -> the DR megakernel path
     domain_rand: bool = False

@@ -56,6 +56,7 @@ def _build_base_env(config: RLConfig):
         collision_ignores_nohit=config.sane_collision,
         progress_reward_scale=config.progress_reward,
         geodesic_reward_scale=config.geodesic_reward,
+        goal_compass=config.goal_compass,
         collision_penalty=config.collision_penalty,
         solver_iterations=config.solver_iterations,
         ls_iterations=config.ls_iterations)
@@ -357,6 +358,11 @@ def main(argv=None):
                         "distance through the corridors (no local optimum "
                         "behind walls; envs/geodesic.py) — the shaping the "
                         "solved-task configs use")
+    p.add_argument("--goal-compass", action="store_true",
+                   help="append the geodesic-descent direction (2 dims, "
+                        "robot frame) to the observation — a global "
+                        "planner feeding the learned local policy; obs "
+                        "79 -> 81")
     p.add_argument("--collision-penalty", type=float, default=-50.0,
                    help="per-step reward when min lidar < 0.15 m (reference: "
                         "-50, which outweighs the +100 goal bonus after ~2 "
@@ -399,6 +405,7 @@ def main(argv=None):
         sane_collision=args.sane_collision,
         progress_reward=args.progress_reward,
         geodesic_reward=args.geodesic_reward,
+        goal_compass=args.goal_compass,
         collision_penalty=args.collision_penalty, log_dir=args.log_dir,
         domain_rand=args.domain_rand)
 

@@ -37,6 +37,8 @@ def main():
     p.add_argument("--sane-collision", action="store_true")
     p.add_argument("--collision-penalty", type=float, default=-50.0)
     p.add_argument("--progress-reward", type=float, default=0.0)
+    p.add_argument("--geodesic-reward", type=float, default=0.0)
+    p.add_argument("--goal-compass", action="store_true")
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--random-baseline", action="store_true",
                    help="also evaluate a uniform-random policy for contrast")
@@ -63,6 +65,8 @@ def main():
         sane_collision=args.sane_collision,
         collision_penalty=args.collision_penalty,
         progress_reward=args.progress_reward,
+        geodesic_reward=args.geodesic_reward,
+        goal_compass=args.goal_compass,
         normalize_obs=args.normalize, normalize_reward=args.normalize,
         log_dir=args.log_dir, seed=args.seed)
     env = build_env(config)
@@ -102,6 +106,8 @@ def main():
             "sane_collision": args.sane_collision,
             "collision_penalty": args.collision_penalty,
             "progress_reward": args.progress_reward,
+            "geodesic_reward": args.geodesic_reward,
+            "goal_compass": args.goal_compass,
             "normalize": args.normalize,
             "hidden": list(args.hidden),
         },

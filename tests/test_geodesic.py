@@ -178,3 +178,80 @@ def test_fused_gate_traces_with_geodesic(geo_env_pair):
     np.testing.assert_allclose(np.asarray(fused.reward),
                                np.asarray(plain.reward), rtol=2e-4, atol=2e-4)
     assert fused.goal_cell.shape == (B,)
+
+
+# ----------------------------------------------------------- goal compass
+@pytest.fixture(scope="module")
+def compass_env():
+    return make_ackermann_env("maze", "umaze", geodesic_reward_scale=10.0,
+                              goal_compass=True, solver_iterations=4,
+                              ls_iterations=3)
+
+
+def test_compass_obs_size_and_unit_norm(compass_env):
+    env = compass_env
+    assert env.obs_size == 81
+    B = 6
+    states = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(2), B))
+    assert states.obs.shape == (B, 81)
+    norms = np.linalg.norm(np.asarray(states.obs[:, 79:81]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    nxt = jax.jit(env.step_batch)(states, jnp.zeros((B, 2)))
+    assert nxt.obs.shape == (B, 81)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(nxt.obs[:, 79:81]), axis=-1), 1.0,
+        atol=1e-5)
+
+
+def test_compass_points_along_corridor_not_through_wall(compass_env):
+    """Robot in one U-arm tip, goal in the other: the straight-line goal
+    direction points through the center wall (-y for a robot at the top
+    arm), but the compass must point along the corridor (+x toward the
+    open side)."""
+    env = compass_env
+    cells = np.asarray(env.scene.free_cells)
+    gi = int(np.argmin(np.linalg.norm(cells - np.array([-1.0, -1.0]),
+                                      axis=1)))
+    # robot at (-1, 1) heading 0 (facing +x); goal cell (-1, -1)
+    xy = jnp.asarray([-1.0, 1.0])
+    goal_vec = jnp.asarray([0.0, -2.0])
+    comp = env._compass(xy, jnp.asarray(0.0), jnp.asarray(gi), goal_vec)
+    comp = np.asarray(comp)
+    assert comp[0] > 0.8, comp          # along the corridor (+x)
+    # straight-line direction would be (0, -1): compass must disagree
+    assert abs(comp[1]) < 0.6
+
+
+def test_compass_fused_gate_matches_fallback(compass_env):
+    env = compass_env
+    B = 8
+    states = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(4), B))
+    actions = jnp.full((B, 2), 0.5, states.obs.dtype)
+    old = engine.FORCE_MEGAKERNEL
+    try:
+        engine.FORCE_MEGAKERNEL = B
+        fused = jax.jit(env.step_autoreset_batch)(states, actions)
+        jax.block_until_ready(fused.obs)
+        engine.FORCE_MEGAKERNEL = False
+        plain = jax.jit(lambda s, a: env.step_autoreset_batch(s, a))(
+            states, actions)
+    finally:
+        engine.FORCE_MEGAKERNEL = old
+    np.testing.assert_allclose(np.asarray(fused.obs[:, 79:81]),
+                               np.asarray(plain.obs[:, 79:81]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused.reward),
+                               np.asarray(plain.reward), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_compass_open_floor_falls_back_to_goal_direction():
+    env = make_ackermann_env("simple", goal_compass=True,
+                             solver_iterations=4, ls_iterations=3)
+    assert env.obs_size == 81
+    s = env.reset(jax.random.PRNGKey(0))
+    comp = np.asarray(s.obs[79:81])
+    # world goal direction rotated into the robot frame must match the
+    # obs goal angle
+    ang = float(s.obs[78])
+    np.testing.assert_allclose(comp, [np.cos(ang), np.sin(ang)], atol=1e-4)
