@@ -368,6 +368,11 @@ def main(argv=None):
                         "-50, which outweighs the +100 goal bonus after ~2 "
                         "grazed corners and caps goal-seeking; -5 makes the "
                         "solved-task configs learnable)")
+    p.add_argument("--shuffle-block", type=int, default=128,
+                   help="PPO minibatch shuffle granularity (rows moved "
+                        "together; 1 = SB3-exact per-row reshuffle, "
+                        "~4x slower updates on TPU — RLConfig."
+                        "shuffle_block_size)")
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--domain-rand", action="store_true",
@@ -397,6 +402,7 @@ def main(argv=None):
         num_envs=args.num_envs, unroll_length=args.unroll,
         num_minibatches=args.minibatches, seed=args.seed,
         anneal_lr=args.anneal_lr, gamma=args.gamma, ent_coef=args.ent_coef,
+        shuffle_block_size=args.shuffle_block,
         hidden_sizes=tuple(args.hidden) if args.hidden else (64, 64),
         offpolicy_hidden_sizes=(tuple(args.hidden) if args.hidden
                                 else (256, 256)),

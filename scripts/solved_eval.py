@@ -42,6 +42,10 @@ def main():
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--random-baseline", action="store_true",
                    help="also evaluate a uniform-random policy for contrast")
+    p.add_argument("--checkpoint", default=None,
+                   help="explicit checkpoint dir (default: latest under "
+                        "<log-dir>/ppo) — model selection across the "
+                        "committed save cadence")
     p.add_argument("--out", default=None,
                    help="EVAL.json path (default <log-dir>/EVAL.json)")
     p.add_argument("--note", default="")
@@ -75,7 +79,7 @@ def main():
     ts = ppo.init_train_state(env, network, config,
                               jax.random.PRNGKey(config.seed))
     ckpt_dir = os.path.join(args.log_dir, "ppo")
-    latest = ckpt_lib.latest_checkpoint(ckpt_dir)
+    latest = args.checkpoint or ckpt_lib.latest_checkpoint(ckpt_dir)
     if not latest:
         raise SystemExit(f"no checkpoint under {ckpt_dir}")
     ts = ckpt_lib.restore_checkpoint(latest, ts)
