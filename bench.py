@@ -1,8 +1,12 @@
-"""Benchmark: lockstep env throughput at 4096 envs on one chip.
+"""Benchmark: lockstep env throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's interactive/training loop runs ~500 env-steps/s
 (1 env, CPU MuJoCo at real-time 500 Hz — BASELINE.md).
+
+Default 16384 envs — the single-chip throughput knee (round-5 sweep:
+2048 -> 9.33M, 4096 -> 10.19M, 8192 -> 11.58M, 16384 -> 12.39M
+env-steps/s; BENCHMARKS.md scaling table).  --envs overrides.
 """
 import json
 import os
@@ -44,9 +48,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from mujoco_playground_tpu.envs import make_ackermann_env
 
 BASELINE_STEPS_PER_S = 500.0  # reference: 1 env, real-time CPU loop
-# --envs overrides (env-count scaling sweeps, BENCHMARKS.md); the driver
-# contract stays the bare-invocation default of 4096.
-B = 4096
+# --envs overrides (env-count scaling sweeps, BENCHMARKS.md).
+B = 16384
 if "--envs" in sys.argv:
     B = int(sys.argv[sys.argv.index("--envs") + 1])
 # T=500 puts the timed window at ~0.5 s (one scan dispatch) so per-dispatch

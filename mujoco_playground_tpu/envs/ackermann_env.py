@@ -215,8 +215,16 @@ class AckermannEnv:
             self._geo_fields = jnp.asarray(fields)
             self._geo_origin = jnp.asarray(origin)
             self._geo_res = 0.05
+            # packed (K, H, W, 3) = [phi, dphi/dx, dphi/dy]: ONE bilinear
+            # lookup per position serves both the shaping potential and
+            # the compass direction (channel 0 is bit-identical to
+            # _geo_fields, so shaping is unchanged by the packing)
+            grad = geodesic.build_grad_fields(fields, self._geo_res)
+            self._geo_pack = jnp.concatenate(
+                [jnp.asarray(fields)[..., None], jnp.asarray(grad)], axis=-1)
         else:
             self._geo_fields = None
+            self._geo_pack = None
         self.obs_size = OBS_SIZE + (2 if config.goal_compass else 0)
 
         # Template chassis heading as a host-side Python float (pure numpy —
@@ -230,8 +238,9 @@ class AckermannEnv:
     # ------------------------------------------------------------------ reset
     def reset(self, rng) -> EnvState:
         state = self.reset_core(rng)
+        geo = self._geo_eval(state.goal_cell, state.physics.xpos[..., 1, :2])
         obs, metrics = self._observe(state.physics, state.odom_ref,
-                                     state.goal, goal_cell=state.goal_cell)
+                                     state.goal, geo_vec=geo)
         return state.replace(
             obs=obs, final_obs=obs,
             goal_distance=metrics["goal_distance"],
@@ -290,58 +299,60 @@ class AckermannEnv:
             goal_cell=jnp.asarray(gi, jnp.int32))
 
     # ---------------------------------------------------------------- compass
-    def _compass(self, xy, heading, goal_cell, goal_vec):
+    def _geo_eval(self, goal_cell, xy):
+        """One bilinear lookup of the packed field -> (..., 3) =
+        [phi, dphi/dx, dphi/dy] (None when no field is built)."""
+        if self._geo_pack is None:
+            return None
+        from mujoco_playground_tpu.envs import geodesic
+        return geodesic.sample_vec(self._geo_pack, self._geo_origin,
+                                   self._geo_res, goal_cell, xy)
+
+    def _compass_from(self, grad, heading, goal_vec):
         """(cos, sin) of the geodesic descent direction in the robot frame.
 
-        Central differences of the potential field give the corridor
-        direction toward the goal; where the gradient vanishes (at the
-        goal-cell center, or on the open floor with no field) it falls
-        back to the straight-line goal direction.  Batched or single.
+        ``grad`` is the sampled field gradient (None on the open floor);
+        where it vanishes (goal-cell center) the straight-line goal
+        direction takes over.  Batched or single.
         """
-        if self._geo_fields is None:
+        if grad is None:
             d = goal_vec
         else:
-            from mujoco_playground_tpu.envs import geodesic
-            h = 1.5 * self._geo_res
-            dx = jnp.stack([jnp.full(xy.shape[:-1], h, xy.dtype),
-                            jnp.zeros(xy.shape[:-1], xy.dtype)], axis=-1)
-            dy = dx[..., ::-1]
-
-            def phi(p):
-                return geodesic.sample(self._geo_fields, self._geo_origin,
-                                       self._geo_res, goal_cell, p)
-
-            g = jnp.stack([phi(xy + dx) - phi(xy - dx),
-                           phi(xy + dy) - phi(xy - dy)], axis=-1)
-            d = jnp.where(jnp.linalg.norm(g, axis=-1, keepdims=True) > 1e-4,
-                          -g, goal_vec)
+            d = jnp.where(
+                jnp.linalg.norm(grad, axis=-1, keepdims=True) > 1e-4,
+                -grad, goal_vec)
         d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
         c, s = jnp.cos(heading), jnp.sin(heading)
         return jnp.stack([c * d[..., 0] + s * d[..., 1],
                           -s * d[..., 0] + c * d[..., 1]],
                          axis=-1).astype(self.dtype)
 
+    def _compass(self, xy, heading, goal_cell, goal_vec):
+        """Compass at an arbitrary position (samples the packed field)."""
+        geo = self._geo_eval(goal_cell, xy)
+        return self._compass_from(None if geo is None else geo[..., 1:3],
+                                  heading, goal_vec)
+
     # ------------------------------------------------------------------- step
-    def _geo_delta(self, prev_phys: State, new_phys: State, goal_cell):
+    def _geo_delta(self, prev_phys: State, new_phys: State, goal_cell,
+                   geo_new=None):
         """Geodesic progress shaping term (0.0 when the knob is off).
 
         Both potentials are evaluated inside the step from the pre/post
         world chassis xy — no carried state, so the term telescopes exactly
         within an episode and auto-reset needs no special casing (the done
         step still shapes against its own episode's goal_cell).  Works for
-        single (2,) and batched (B, 2) positions alike.
+        single (2,) and batched (B, 2) positions alike.  ``geo_new``: the
+        post-step packed sample, when the caller already has it (shared
+        with the compass — saves a lookup).
         """
-        if self._geo_fields is None or not self.config.geodesic_reward_scale:
+        if self._geo_pack is None or not self.config.geodesic_reward_scale:
             return 0.0
-        from mujoco_playground_tpu.envs import geodesic
-        prev_xy = prev_phys.xpos[..., 1, :2]
-        new_xy = new_phys.xpos[..., 1, :2]
-        phi_p = geodesic.sample(self._geo_fields, self._geo_origin,
-                                self._geo_res, goal_cell, prev_xy)
-        phi_n = geodesic.sample(self._geo_fields, self._geo_origin,
-                                self._geo_res, goal_cell, new_xy)
+        phi_p = self._geo_eval(goal_cell, prev_phys.xpos[..., 1, :2])[..., 0]
+        if geo_new is None:
+            geo_new = self._geo_eval(goal_cell, new_phys.xpos[..., 1, :2])
         return (self.config.geodesic_reward_scale
-                * (phi_p - phi_n)).astype(self.dtype)
+                * (phi_p - geo_new[..., 0])).astype(self.dtype)
 
     def step(self, state: EnvState, action, model=None) -> EnvState:
         cfg = self.config
@@ -355,16 +366,18 @@ class AckermannEnv:
             physics = engine.step(model, physics)
 
         obs_src = state.physics if cfg.reference_delayed_obs else physics
+        geo_obs = self._geo_eval(state.goal_cell, obs_src.xpos[..., 1, :2])
         obs, metrics = self._observe(obs_src, state.odom_ref, state.goal,
-                                     model=model, goal_cell=state.goal_cell)
+                                     model=model, geo_vec=geo_obs)
         goal_distance = metrics["goal_distance"]
         collision = metrics["collision"]
 
         terminated = goal_distance < cfg.goal_distance_threshold
         reward = reward_terms(cfg, goal_distance, collision, terminated,
                               state.prev_goal_distance).astype(self.dtype)
-        reward = reward + self._geo_delta(state.physics, physics,
-                                          state.goal_cell)
+        reward = reward + self._geo_delta(
+            state.physics, physics, state.goal_cell,
+            geo_new=None if cfg.reference_delayed_obs else geo_obs)
         steps = state.steps + 1
         truncated = (steps >= cfg.max_episode_steps) & ~terminated
         return state.replace(
@@ -452,20 +465,24 @@ class AckermannEnv:
             # reward/termination metrics (see step_pallas.build_step_fn)
             ns = self.model.nsite
             obs = env_slab[:, :ns + 7]
+            geo_new = self._geo_eval(states.goal_cell,
+                                     physics.xpos[:, 1, :2])
             if cfg.goal_compass:
                 # compass rides outside the kernel, like the shaping: the
                 # slab's heading/goal cols are post-step, so recompute from
-                # the post-step frames the kernel already returned
+                # the post-step frames the kernel already returned (the
+                # packed sample is shared with the shaping term)
                 heading = env_slab[:, ns + 2]
                 robot_xy = physics.xpos[:, 1, :2]
                 goal_vec = states.goal - (robot_xy
                                           - states.odom_ref.position[:, :2])
+                grad = None if geo_new is None else geo_new[..., 1:3]
                 obs = jnp.concatenate([
-                    obs, self._compass(robot_xy, heading, states.goal_cell,
-                                       goal_vec)], axis=-1)
+                    obs, self._compass_from(grad, heading, goal_vec)],
+                    axis=-1)
             reward = (env_slab[:, ns + 7].astype(self.dtype)
                       + self._geo_delta(states.physics, physics,
-                                        states.goal_cell))
+                                        states.goal_cell, geo_new=geo_new))
             goal_distance = env_slab[:, ns + 8]
             min_lidar = env_slab[:, ns + 9]
             collision = env_slab[:, ns + 10] > 0.5
@@ -481,27 +498,30 @@ class AckermannEnv:
             return (new, fresh_lidar) if _fresh_xy is not None else new
 
         obs_src = states.physics if cfg.reference_delayed_obs else physics
+        geo_obs = self._geo_eval(states.goal_cell, obs_src.xpos[:, 1, :2])
         if base_model is None:
             obs, metrics = self._observe_batch(obs_src, states.odom_ref,
-                                               states.goal, states.goal_cell)
+                                               states.goal, geo_vec=geo_obs)
         else:
             bdict = engine.batched_field_dict(model, base_model)
 
-            def obs_dr(p, ref, goal, cell, leaves):
+            def obs_dr(p, ref, goal, geo, leaves):
                 return self._observe(p, ref, goal,
                                      model=base_model.replace(**leaves),
-                                     goal_cell=cell)
+                                     geo_vec=geo)
 
-            obs, metrics = jax.vmap(obs_dr, in_axes=(0, 0, 0, 0, 0))(
-                obs_src, states.odom_ref, states.goal, states.goal_cell,
-                bdict)
+            obs, metrics = jax.vmap(obs_dr, in_axes=(0, 0, 0,
+                                                     None if geo_obs is None
+                                                     else 0, 0))(
+                obs_src, states.odom_ref, states.goal, geo_obs, bdict)
         goal_distance = metrics["goal_distance"]
         collision = metrics["collision"]
         terminated = goal_distance < cfg.goal_distance_threshold
         reward = reward_terms(cfg, goal_distance, collision, terminated,
                               states.prev_goal_distance).astype(self.dtype)
-        reward = reward + self._geo_delta(states.physics, physics,
-                                          states.goal_cell)
+        reward = reward + self._geo_delta(
+            states.physics, physics, states.goal_cell,
+            geo_new=None if cfg.reference_delayed_obs else geo_obs)
         steps = states.steps + 1
         truncated = (steps >= cfg.max_episode_steps) & ~terminated
         new = states.replace(
@@ -576,23 +596,29 @@ class AckermannEnv:
                 fresh_obs = jnp.concatenate(cols, axis=-1)
                 obs = jnp.where(done[:, None], fresh_obs, st.obs)
             elif base_model is None:
+                geo_m = self._geo_eval(merged.goal_cell,
+                                       merged.physics.xpos[:, 1, :2])
                 obs, _ = self._observe_batch(merged.physics,
                                              merged.odom_ref, merged.goal,
-                                             merged.goal_cell)
+                                             geo_vec=geo_m)
             else:
                 # staged DR fallback: observe with each env's own model so
                 # the randomized plane_z reaches the raycast, matching the
                 # fused path exactly
                 bdict = engine.batched_field_dict(models, base_model)
+                geo_m = self._geo_eval(merged.goal_cell,
+                                       merged.physics.xpos[:, 1, :2])
 
-                def obs_dr(p, ref, goal, cell, leaves):
+                def obs_dr(p, ref, goal, geo, leaves):
                     return self._observe(p, ref, goal,
                                          model=base_model.replace(**leaves),
-                                         goal_cell=cell)
+                                         geo_vec=geo)
 
-                obs, _ = jax.vmap(obs_dr, in_axes=(0, 0, 0, 0, 0))(
-                    merged.physics, merged.odom_ref, merged.goal,
-                    merged.goal_cell, bdict)
+                obs, _ = jax.vmap(obs_dr, in_axes=(0, 0, 0,
+                                                   None if geo_m is None
+                                                   else 0, 0))(
+                    merged.physics, merged.odom_ref, merged.goal, geo_m,
+                    bdict)
             merged = merged.replace(obs=obs)
         return merged.replace(
             reward=st.reward, terminated=st.terminated, truncated=st.truncated,
@@ -624,7 +650,7 @@ class AckermannEnv:
         return self._fresh_statics_cache
 
     def _observe_batch(self, physics: State, ref: OdometryRef, goal,
-                       goal_cell=None):
+                       geo_vec=None):
         """Batched observation (leaves carry a leading env axis).
 
         Semantics == vmap(self._observe) on the static model; the lidar
@@ -663,8 +689,8 @@ class AckermannEnv:
                        goal_angle], axis=-1),
         ]
         if cfg.goal_compass:
-            cols.append(self._compass(physics.xpos[:, 1, :2], heading,
-                                      goal_cell, goal_vec))
+            grad = None if geo_vec is None else geo_vec[..., 1:3]
+            cols.append(self._compass_from(grad, heading, goal_vec))
         obs = jnp.concatenate(cols, axis=-1).astype(self.dtype)
         if cfg.collision_ignores_nohit:
             min_lidar = jnp.min(jnp.where(lidar < 0, jnp.inf, lidar),
@@ -676,7 +702,7 @@ class AckermannEnv:
                          min_lidar=min_lidar)
 
     def _observe(self, physics: State, ref: OdometryRef, goal, model=None,
-                 goal_cell=None):
+                 geo_vec=None):
         cfg = self.config
         model = self.model if model is None else model
         lidar = sensors.lidar_scan(model, physics)
@@ -696,8 +722,8 @@ class AckermannEnv:
             jnp.stack([goal_vec[0], goal_vec[1], goal_distance, goal_angle]),
         ]
         if cfg.goal_compass:
-            cols.append(self._compass(physics.xpos[1, :2], heading,
-                                      goal_cell, goal_vec))
+            grad = None if geo_vec is None else geo_vec[..., 1:3]
+            cols.append(self._compass_from(grad, heading, goal_vec))
         obs = jnp.concatenate(cols).astype(self.dtype)
         if cfg.collision_ignores_nohit:
             min_lidar = jnp.min(jnp.where(lidar < 0, jnp.inf, lidar))

@@ -126,6 +126,18 @@ def build_fields(scene, resolution: float = 0.05):
     return f, origin.astype(np.float32)
 
 
+def build_grad_fields(fields: np.ndarray, resolution: float) -> np.ndarray:
+    """Per-node central-difference gradient of each field, (K, H, W, 2).
+
+    Sampling this once replaces the four potential lookups a
+    central-difference compass costs per step (the interior nodes match
+    that exactly up to the sampling offset; borders use one-sided
+    differences — outside the wall margin, unreachable in play)."""
+    f = np.asarray(fields, np.float32)
+    gy, gx = np.gradient(f, resolution, axis=(1, 2))
+    return np.stack([gx, gy], axis=-1).astype(np.float32)
+
+
 def sample(fields, origin, resolution: float, cell_idx, xy):
     """Bilinear potential lookup, fully batched.
 
@@ -143,6 +155,26 @@ def sample(fields, origin, resolution: float, cell_idx, xy):
     i0 = jnp.floor(v).astype(jnp.int32)
     fu = u - j0
     fv = v - i0
+    c = cell_idx.astype(jnp.int32)
+    f00 = fields[c, i0, j0]
+    f01 = fields[c, i0, j0 + 1]
+    f10 = fields[c, i0 + 1, j0]
+    f11 = fields[c, i0 + 1, j0 + 1]
+    return ((1 - fv) * ((1 - fu) * f00 + fu * f01)
+            + fv * ((1 - fu) * f10 + fu * f11))
+
+
+def sample_vec(fields, origin, resolution: float, cell_idx, xy):
+    """Bilinear lookup in a vector-valued field (K, H, W, C) -> (..., C)."""
+    K, H, W, _ = fields.shape
+    u = (xy[..., 0] - origin[0]) / resolution
+    v = (xy[..., 1] - origin[1]) / resolution
+    u = jnp.clip(u, 0.0, W - 1.001)
+    v = jnp.clip(v, 0.0, H - 1.001)
+    j0 = jnp.floor(u).astype(jnp.int32)
+    i0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - j0)[..., None]
+    fv = (v - i0)[..., None]
     c = cell_idx.astype(jnp.int32)
     f00 = fields[c, i0, j0]
     f01 = fields[c, i0, j0 + 1]
