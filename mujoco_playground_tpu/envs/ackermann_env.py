@@ -103,6 +103,14 @@ class EnvConfig:
     # observation exactly.  On the open floor (no field) it degrades to
     # the straight-line goal direction.
     goal_compass: bool = False
+    # Uniform random spawn yaw in [-x, +x] rad (maze arena; pi = any
+    # heading).  The reference spawns every episode facing +x (the settle
+    # template's heading), which leaves the policy heading-degenerate:
+    # the U-bend cell then always faces its outer wall 0.5 m ahead and
+    # accounted for 43% of the round-5 solved-run failures.  0 = faithful.
+    # When on, the fused auto-reset takes the two-scan path (the in-kernel
+    # fresh-spawn scan bakes the template orientation).
+    spawn_heading_noise: float = 0.0
     # Reward weights.  collision_penalty is the reference's -50-per-step
     # wall-proximity term (ackermann_env.py:287-301).  It is the term that
     # caps goal-seeking on the solved-task configs (grazing a wall for 50
@@ -254,7 +262,7 @@ class AckermannEnv:
         second full lidar scan per step (round-1 VERDICT weak #1).
         """
         dtype = self.dtype
-        rng, k_start, k_goal, k_noise = jax.random.split(rng, 4)
+        rng, k_start, k_goal, k_noise, k_yaw = jax.random.split(rng, 5)
         template: State = jax.tree.map(jnp.asarray, self._template)
 
         if self.arena == "maze":
@@ -268,6 +276,31 @@ class AckermannEnv:
             noise = jax.random.uniform(
                 k_noise, (4,), dtype,
                 minval=-self.config.cell_noise, maxval=self.config.cell_noise)
+            if self.config.spawn_heading_noise:
+                # rotate the settle template about its chassis origin
+                # (physics is z-rotation-invariant, like the x/y
+                # translation the template already exploits)
+                from mujoco_playground_tpu.physics.mathutil import quat_mul
+                lim = self.config.spawn_heading_noise
+                th = jax.random.uniform(k_yaw, (), dtype, -lim, lim)
+                qz = jnp.stack([jnp.cos(th / 2), jnp.zeros((), dtype),
+                                jnp.zeros((), dtype), jnp.sin(th / 2)])
+                c, s = jnp.cos(th), jnp.sin(th)
+                ctr = template.xpos[1]
+                rel = template.xpos[1:] - ctr
+                rot = jnp.stack(
+                    [rel[:, 0] * c - rel[:, 1] * s,
+                     rel[:, 0] * s + rel[:, 1] * c, rel[:, 2]], axis=-1)
+                template = template.replace(
+                    qpos=template.qpos.at[3:7].set(
+                        quat_mul(qz, template.qpos[3:7])),
+                    qvel=template.qvel.at[0:2].set(jnp.stack(
+                        [template.qvel[0] * c - template.qvel[1] * s,
+                         template.qvel[0] * s + template.qvel[1] * c])),
+                    xpos=template.xpos.at[1:].set(ctr + rot),
+                    xquat=template.xquat.at[1:].set(
+                        jax.vmap(quat_mul, in_axes=(None, 0))(
+                            qz, template.xquat[1:])))
             start_xy = self._free_cells[si] + noise[:2] * self.scene.cell_size
             goal_xy = self._free_cells[gi] + noise[2:] * self.scene.cell_size
             qpos = template.qpos.at[0:2].set(start_xy)
@@ -567,9 +600,18 @@ class AckermannEnv:
             rngs = jax.vmap(jax.random.split)(states.rng)
             fresh = jax.vmap(self.reset_core)(rngs[:, 1])
             fresh = fresh.replace(rng=rngs[:, 0])
-            st, fresh_lidar = self.step_batch(
-                states, actions, models=models, base_model=base_model,
-                _fresh_xy=fresh.physics.xpos[:, 1, :2])
+            # randomized spawn yaw: the in-kernel fresh scan bakes the
+            # template orientation, so skip it and let the post-merge
+            # _observe_batch below (lidar_pallas kernel) scan instead —
+            # one extra kernel dispatch only on this opt-in path
+            if not self.config.spawn_heading_noise:
+                st, fresh_lidar = self.step_batch(
+                    states, actions, models=models, base_model=base_model,
+                    _fresh_xy=fresh.physics.xpos[:, 1, :2])
+            else:
+                st = self.step_batch(states, actions, models=models,
+                                     base_model=base_model)
+                fresh_lidar = None
             done = st.done
             merged = jax.tree.map(functools.partial(select_done, done),
                                   fresh, st)

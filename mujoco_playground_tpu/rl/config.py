@@ -37,6 +37,9 @@ class RLConfig:
     # observation — the global-planner/local-policy split
     # (EnvConfig.goal_compass); obs grows 79 -> 81
     goal_compass: bool = False
+    # uniform random spawn yaw in [-x, +x] rad (0 = the reference's fixed
+    # template heading; pi = any heading — EnvConfig.spawn_heading_noise)
+    spawn_heading_noise: float = 0.0
     # per-env randomized physics (mass/friction/damping/actuators/floor);
     # wraps the env in DomainRandomizedEnv -> the DR megakernel path
     domain_rand: bool = False

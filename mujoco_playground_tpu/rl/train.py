@@ -57,6 +57,7 @@ def _build_base_env(config: RLConfig):
         progress_reward_scale=config.progress_reward,
         geodesic_reward_scale=config.geodesic_reward,
         goal_compass=config.goal_compass,
+        spawn_heading_noise=config.spawn_heading_noise,
         collision_penalty=config.collision_penalty,
         solver_iterations=config.solver_iterations,
         ls_iterations=config.ls_iterations)
@@ -363,6 +364,11 @@ def main(argv=None):
                         "robot frame) to the observation — a global "
                         "planner feeding the learned local policy; obs "
                         "79 -> 81")
+    p.add_argument("--spawn-heading-noise", type=float, default=0.0,
+                   metavar="RAD",
+                   help="uniform random spawn yaw in [-RAD, +RAD] "
+                        "(0 = the reference's fixed +x heading; 3.14159 = "
+                        "any heading)")
     p.add_argument("--collision-penalty", type=float, default=-50.0,
                    help="per-step reward when min lidar < 0.15 m (reference: "
                         "-50, which outweighs the +100 goal bonus after ~2 "
@@ -412,6 +418,7 @@ def main(argv=None):
         progress_reward=args.progress_reward,
         geodesic_reward=args.geodesic_reward,
         goal_compass=args.goal_compass,
+        spawn_heading_noise=args.spawn_heading_noise,
         collision_penalty=args.collision_penalty, log_dir=args.log_dir,
         domain_rand=args.domain_rand)
 

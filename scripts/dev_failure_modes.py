@@ -120,6 +120,13 @@ def main():
     phi0 = np.asarray(phi0)
     min_lid = np.asarray(st.min_lidar)
 
+    # start cell = nearest free cell to the spawn xy; goal cell from state
+    cells = np.asarray(env.scene.free_cells)
+    spawn = np.asarray(states.physics.xpos[:, 1, :2])
+    start_cell = np.argmin(
+        np.linalg.norm(spawn[:, None, :] - cells[None], axis=-1), axis=1)
+    goal_cell = np.asarray(states.goal_cell)
+
     fail = ~succ
     stuck = fail & (slow > 0.3 * length) & (min_lid < 0.4)
     closer = phiN < 0.5 * phi0
@@ -139,6 +146,15 @@ def main():
         "phi0_mean_fail": float(phi0[fail].mean()) if fail.any() else None,
         "phi0_mean_succ": float(phi0[succ].mean()) if succ.any() else None,
     }
+    K = len(cells)
+    mat_n = np.zeros((K, K), int)
+    mat_s = np.zeros((K, K), int)
+    for sc, gc, ok in zip(start_cell, goal_cell, succ):
+        mat_n[sc, gc] += 1
+        mat_s[sc, gc] += int(ok)
+    out["cells"] = [list(map(float, c)) for c in cells]
+    out["pair_success"] = [
+        [f"{mat_s[i, j]}/{mat_n[i, j]}" for j in range(K)] for i in range(K)]
     print(json.dumps(out, indent=2))
 
 

@@ -73,6 +73,7 @@ def main():
     p.add_argument("--max-episode-steps", type=int, default=1000,
                    help="episode budget (500 Hz steps; 1000 = the "
                         "reference's 2 s)")
+    p.add_argument("--spawn-heading-noise", type=float, default=0.0)
     args = p.parse_args()
 
     env = make_ackermann_env(
@@ -80,6 +81,7 @@ def main():
         max_linear_velocity=args.max_velocity,
         max_angular_velocity=args.max_angular,
         max_episode_steps=args.max_episode_steps,
+        spawn_heading_noise=args.spawn_heading_noise,
         collision_ignores_nohit=True)
     stats = evaluate_agent(env, scripted_policy(env),
                            num_episodes=args.episodes,

@@ -39,6 +39,7 @@ def main():
     p.add_argument("--progress-reward", type=float, default=0.0)
     p.add_argument("--geodesic-reward", type=float, default=0.0)
     p.add_argument("--goal-compass", action="store_true")
+    p.add_argument("--spawn-heading-noise", type=float, default=0.0)
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--random-baseline", action="store_true",
                    help="also evaluate a uniform-random policy for contrast")
@@ -71,6 +72,7 @@ def main():
         progress_reward=args.progress_reward,
         geodesic_reward=args.geodesic_reward,
         goal_compass=args.goal_compass,
+        spawn_heading_noise=args.spawn_heading_noise,
         normalize_obs=args.normalize, normalize_reward=args.normalize,
         log_dir=args.log_dir, seed=args.seed)
     env = build_env(config)
@@ -112,6 +114,7 @@ def main():
             "progress_reward": args.progress_reward,
             "geodesic_reward": args.geodesic_reward,
             "goal_compass": args.goal_compass,
+            "spawn_heading_noise": args.spawn_heading_noise,
             "normalize": args.normalize,
             "hidden": list(args.hidden),
         },
