@@ -58,6 +58,23 @@ def latest_checkpoint(path: str) -> Optional[str]:
     return os.path.join(path, entries[-1]) if entries else None
 
 
+def checkpoint_step(path: str) -> Optional[int]:
+    """Env-step count from a checkpoint dir name (``.../step_NNN``).
+
+    The authoritative step counter for resume: the in-state
+    ``global_step`` array is int32 on device (JAX x64 disabled) and
+    wraps at 2^31 env-steps — a real 3B-step run hit this (round 5) —
+    while the dirname carries the exact host-side count.
+    """
+    name = os.path.basename(os.path.normpath(path))
+    if name.startswith("step_"):
+        try:
+            return int(name[5:])
+        except ValueError:
+            return None
+    return None
+
+
 def restore_checkpoint(target: str, template) -> Any:
     """Restore into the structure of `template` (an abstract train state).
 

@@ -72,10 +72,12 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
     ts = ppo.init_train_state(env, network, config, rng)
 
     log_dir = os.path.join(config.log_dir, "ppo")
+    resume_gs = None
     if resume or eval_only:
         latest = ckpt_lib.latest_checkpoint(log_dir)
         if latest:
             ts = ckpt_lib.restore_checkpoint(latest, ts)
+            resume_gs = ckpt_lib.checkpoint_step(latest)
             if verbose:
                 print(f"Resumed from {latest}")
         elif eval_only:
@@ -98,10 +100,13 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
         return ts, {**roll_metrics, **upd_metrics}
 
     steps_per_iter = config.num_envs * config.unroll_length
-    # resume-aware counters: start from the restored global_step so a
+    # resume-aware counters: start from the restored step count so a
     # resumed run neither re-trains past its target nor floods saves/evals
-    # while the cadence counters catch up
-    start_gs = int(ts.global_step)
+    # while the cadence counters catch up.  The checkpoint DIRNAME is the
+    # authoritative count — the in-state counter is int32 on device and
+    # wraps at 2^31 env-steps (hit by a real 3B-step run, round 5); all
+    # step accounting below is host-side Python ints for the same reason.
+    start_gs = resume_gs if resume_gs is not None else int(ts.global_step)
     next_save = (start_gs // config.save_freq + 1) * config.save_freq
     next_eval = (start_gs // config.eval_freq + 1) * config.eval_freq
 
@@ -135,7 +140,7 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
         jax.block_until_ready(ts.params)
         dt = (time.time() - t0) / group
         t0 = time.time()
-        gs = int(ts.global_step)
+        gs += steps_per_iter * group
         metrics = {k: float(v) for k, v in metrics.items()}
         # Failure detection (absent in the reference, SURVEY.md §5): if an
         # update produced non-finite losses, drop it and continue from the
@@ -176,10 +181,10 @@ def train_ppo(config: RLConfig, resume: bool = False, verbose: bool = True,
                       f"success {stats['success_rate']*100:.1f}%")
     if verbose:
         total = time.time() - t_start
-        ran = int(ts.global_step) - start_gs   # steps THIS run (post-resume)
-        print(f"Done: {int(ts.global_step)} steps ({ran} this run) in "
+        ran = gs - start_gs                    # steps THIS run (post-resume)
+        print(f"Done: {gs} steps ({ran} this run) in "
               f"{total:.1f}s ({ran/max(total, 1e-9)/1e3:.1f}k steps/s)")
-    ckpt_lib.save_checkpoint(log_dir, ts, int(ts.global_step))
+    ckpt_lib.save_checkpoint(log_dir, ts, gs)
     return ts, env, network
 
 
@@ -205,10 +210,12 @@ def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
                        else mod.make_td3(env, config))
     state = init(jax.random.PRNGKey(config.seed))
     log_dir = os.path.join(config.log_dir, algo)
+    resume_gs = None
     if resume or eval_only:
         latest = ckpt_lib.latest_checkpoint(log_dir)
         if latest:
             state = ckpt_lib.restore_checkpoint(latest, state)
+            resume_gs = ckpt_lib.checkpoint_step(latest)
             if verbose:
                 print(f"[{algo}] resumed from {latest}")
         elif eval_only:
@@ -254,7 +261,9 @@ def train_off_policy(config: RLConfig, algo: str, total_timesteps: int,
     # ~100k steps).  At most 2 distinct lengths compile.
     chunks = {log_every: make_chunk(log_every)}
 
-    start_gs = int(state.global_step)
+    # dirname-authoritative resume count (the in-state counter is int32 on
+    # device and wraps at 2^31 env-steps — see train_ppo)
+    start_gs = resume_gs if resume_gs is not None else int(state.global_step)
     gs = start_gs
     next_save = (start_gs // config.save_freq + 1) * config.save_freq
     while gs < config.sac_learning_starts and gs < total_timesteps:

@@ -85,7 +85,9 @@ def main():
     if not latest:
         raise SystemExit(f"no checkpoint under {ckpt_dir}")
     ts = ckpt_lib.restore_checkpoint(latest, ts)
-    print(f"restored {latest} (global_step {int(ts.global_step)})")
+    gs = ckpt_lib.checkpoint_step(latest)
+    gs = int(ts.global_step) if gs is None else gs
+    print(f"restored {latest} (global_step {gs})")
 
     policy = deterministic_policy(
         network, ts.params, norm=ts.norm if config.normalize_obs else None)
@@ -98,7 +100,7 @@ def main():
         capture_output=True, text=True).stdout.strip()
     record = {
         "checkpoint": latest,
-        "global_step": int(ts.global_step),
+        "global_step": gs,
         "commit": commit,
         "protocol": (f"rl/evaluate.evaluate_agent, {args.episodes} parallel "
                      f"episodes, deterministic policy, eval seed "

@@ -131,3 +131,14 @@ def test_offpolicy_resume_continues(tmp_path):
                                  eval_episodes=2, verbose=False,
                                  eval_only=True)
     assert int(state3.global_step) == gs2
+
+
+def test_checkpoint_step_parses_beyond_int32():
+    """Step counts come from the checkpoint dirname, not the in-state
+    int32 counter (which wraps at 2^31 env-steps — a real 3B-step run
+    hit this in round 5)."""
+    from mujoco_playground_tpu.rl import checkpoint as ckpt_lib
+    assert ckpt_lib.checkpoint_step("/x/ppo/step_3000000000") == 3_000_000_000
+    assert ckpt_lib.checkpoint_step("/x/ppo/step_0020000768/") == 20_000_768
+    assert ckpt_lib.checkpoint_step("/x/ppo/params_final") is None
+    assert ckpt_lib.checkpoint_step("/x/ppo/step_garbage") is None
