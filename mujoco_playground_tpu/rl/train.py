@@ -436,7 +436,8 @@ def main(argv=None):
     print("=" * 60)
     print(f"devices: {jax.devices()}")
     print(f"env: {config.env_type} ({config.maze_id if config.env_type == 'maze' else 'open floor'})")
-    print(f"obs (79,), act (2,), num_envs {config.num_envs}")
+    print(f"obs ({79 + (2 if config.goal_compass else 0)},), act (2,), "
+          f"num_envs {config.num_envs}")
     print("=" * 60)
 
     if args.eval_only and args.algo == "random":
