@@ -34,6 +34,18 @@ def _check_smoke_stamp():
     except (OSError, subprocess.SubprocessError):
         stamp, head = "<missing>", "<unknown>"
     if stamp != head:
+        # committing the stamp file necessarily advances HEAD by one: a
+        # stamp at HEAD~1 is still clean iff that commit touches ONLY
+        # TPU_SMOKE.txt (the round-end topology)
+        try:
+            only = subprocess.run(
+                ["git", "-C", repo, "diff", "--name-only",
+                 f"{stamp}..HEAD"],
+                capture_output=True, text=True).stdout.split()
+        except (OSError, subprocess.SubprocessError):
+            only = None
+        if only == ["TPU_SMOKE.txt"]:
+            return
         print(f"WARNING: TPU_SMOKE.txt stamped at {stamp} but HEAD is "
               f"{head} — re-run scripts/tpu_smoke.py on the chip "
               f"(CLAUDE.md hard rule)", file=sys.stderr, flush=True)
