@@ -37,10 +37,11 @@ def _check_smoke_stamp():
         # committing the stamp file necessarily advances HEAD by one: a
         # stamp at HEAD~1 is still clean iff that commit touches ONLY
         # TPU_SMOKE.txt (the round-end topology)
+        base = stamp.replace("-dirty", "")
         try:
             only = subprocess.run(
                 ["git", "-C", repo, "diff", "--name-only",
-                 f"{stamp}..HEAD"],
+                 f"{base}..HEAD"],
                 capture_output=True, text=True).stdout.split()
         except (OSError, subprocess.SubprocessError):
             only = None
